@@ -1,0 +1,75 @@
+"""Batched dense masked attention over small graphs (XLA path).
+
+TPU-native replacement for the reference's "hyper" batched-small-graph
+format (``DFGNN/src/fused_gtconv/fused_gtconv_hyper.cu:166-286``).  Instead
+of edge-parallel COO SDDMM + node-parallel softmax/SpMM in shared memory, we
+pad each graph to a node tile and run the whole SDDMM -> softmax -> SpMM as
+dense masked attention: two batched matmuls on the MXU with an adjacency
+mask.  At the reference's batched workload shapes (~70-120 nodes, degree
+8-50: ``figure/graph_statistics/graph_statistics.md``) this is *both* fewer
+HBM bytes (no E-sized gathered copies) and systolic-array-resident compute.
+
+This module is the XLA formulation (also the oracle for the Pallas flash
+kernel in :mod:`dfgnn_tpu.ops.pallas.flash_mask`); XLA fuses the mask +
+softmax elementwise chain into the matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dfgnn_tpu.graph import DenseBatch
+
+_NEG_BIG = -1e30
+
+
+def dense_scores(
+    batch: DenseBatch,
+    q: Optional[jax.Array],
+    k: Optional[jax.Array],
+    *,
+    score: str = "dot",
+    e_row: Optional[jax.Array] = None,
+    e_col: Optional[jax.Array] = None,
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """Masked dense score tensor ``[B, h, P, P]`` (pad entries = -BIG)."""
+    if score == "dot":
+        s = jnp.einsum("brhf,bchf->bhrc", q, k)
+    elif score == "add":
+        # e_row/e_col: [B, P, h]
+        s = e_row.transpose(0, 2, 1)[:, :, :, None] + e_col.transpose(0, 2, 1)[:, :, None, :]
+        s = jax.nn.leaky_relu(s, negative_slope=negative_slope)
+    else:
+        raise ValueError(f"unknown score mode {score!r}")
+    if batch.val is not None:
+        s = s * batch.val[:, None]
+    return jnp.where(batch.adj[:, None], s, _NEG_BIG)
+
+
+def dense_graph_attention(
+    batch: DenseBatch,
+    q: Optional[jax.Array],
+    k: Optional[jax.Array],
+    v: jax.Array,
+    *,
+    score: str = "dot",
+    e_row: Optional[jax.Array] = None,
+    e_col: Optional[jax.Array] = None,
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """Fused-by-XLA masked attention.  ``q,k,v``: ``[B, P, h, f]`` ->
+    ``[B, P, h, f]``; rows with no edges produce zeros (reference's
+    zero-degree guard, ``fused_gtconv_hyper.cu:273``)."""
+    s = dense_scores(
+        batch, q, k, score=score, e_row=e_row, e_col=e_col,
+        negative_slope=negative_slope,
+    )
+    m = jnp.max(s, axis=-1, keepdims=True)
+    ex = jnp.where(batch.adj[:, None], jnp.exp(s - jnp.maximum(m, _NEG_BIG)), 0.0)
+    den = jnp.sum(ex, axis=-1, keepdims=True)
+    w = jnp.where(den > 0, ex / jnp.where(den > 0, den, 1.0), 0.0)
+    return jnp.einsum("bhrc,bchf->brhf", w, v)

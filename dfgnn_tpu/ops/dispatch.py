@@ -1,0 +1,57 @@
+"""Single entry point dispatching on graph layout.
+
+Plays the role of the reference's per-format layer classes + ``fuse`` flag
+(``DFGNN/layers/util.py:362-455``): here the *layout type* selects the
+strategy, and ``method`` can force a specific implementation (e.g. the
+unfused oracle for cross-checking, like ``fuse=False``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from dfgnn_tpu.graph import DenseBatch, Graph
+from dfgnn_tpu.formats import BucketedGraph
+from dfgnn_tpu.ops import reference as _ref
+from dfgnn_tpu.ops import dense_block as _dense
+from dfgnn_tpu.ops import bucket as _bucket
+
+
+def graph_attention(
+    g,
+    q: Optional[jax.Array],
+    k: Optional[jax.Array],
+    v: jax.Array,
+    *,
+    score: str = "dot",
+    e_row: Optional[jax.Array] = None,
+    e_col: Optional[jax.Array] = None,
+    negative_slope: float = 0.2,
+    method: str = "auto",
+):
+    """Fused (or oracle) SDDMM -> edge-softmax -> SpMM attention convolution.
+
+    ``g`` may be a :class:`Graph` (oracle segment-op path), a
+    :class:`BucketedGraph` (fused full-graph path) or a :class:`DenseBatch`
+    (batched dense masked attention / flash kernel).
+    """
+    kw = dict(score=score, e_row=e_row, e_col=e_col, negative_slope=negative_slope)
+    if isinstance(g, DenseBatch):
+        if method in ("auto", "dense"):
+            return _dense.dense_graph_attention(g, q, k, v, **kw)
+        if method == "flash":
+            from dfgnn_tpu.ops.pallas import flash_mask
+
+            return flash_mask.flash_graph_attention(g, q, k, v, **kw)
+        raise ValueError(f"method {method!r} invalid for DenseBatch")
+    if isinstance(g, BucketedGraph):
+        if method in ("auto", "bucket"):
+            return _bucket.bucket_graph_attention(g, q, k, v, **kw)
+        raise ValueError(f"method {method!r} invalid for BucketedGraph")
+    if isinstance(g, Graph):
+        if method in ("auto", "reference"):
+            return _ref.graph_attention_reference(g, q, k, v, **kw)
+        raise ValueError(f"method {method!r} invalid for Graph")
+    raise TypeError(f"unsupported graph layout {type(g)!r}")

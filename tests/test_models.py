@@ -1,0 +1,121 @@
+"""Conv layers + model assembly: shapes, layout consistency, training step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dfgnn_tpu.formats import build_buckets
+from dfgnn_tpu.graph import DenseBatch
+from dfgnn_tpu.models import GTModel, FullGraphNet, GATNet, Model, make_conv, graph_pool
+from helpers import make_graph, random_graph_coo
+
+
+@pytest.mark.parametrize("conv", ["gt", "gat", "agnn", "dotgat"])
+def test_conv_layout_consistency(rng, conv):
+    """Same params, same graph: oracle path == bucketed path == dense path."""
+    layer = make_conv(conv, out_size=16, num_heads=2)
+    graphs = []
+    for _ in range(3):
+        nb = int(rng.integers(20, 40))
+        r, c, _ = random_graph_coo(rng, nb, 5, zero_deg_frac=0.1)
+        graphs.append((r, c, nb))
+    batch = DenseBatch.from_graph_list(graphs, np_pad=64)
+    g = batch.to_graph()
+    bg = build_buckets(g)
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, 8)).astype(np.float32))
+    params = layer.init(jax.random.key(0), g, x, impl="reference")
+    out_ref = layer.apply(params, g, x, impl="reference")
+    out_buk = layer.apply(params, bg, x)
+    out_den = layer.apply(params, batch, x)
+    assert out_ref.shape == (g.n_nodes, 16 * 2 if conv == "gat" else 16)
+    np.testing.assert_allclose(np.asarray(out_buk), np.asarray(out_ref), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_den), np.asarray(out_ref), rtol=1e-3, atol=1e-5)
+
+
+def test_graph_pool_sum_matches_manual(rng):
+    graphs = []
+    for _ in range(4):
+        nb = int(rng.integers(5, 20))
+        r, c, _ = random_graph_coo(rng, nb, 3, zero_deg_frac=0.0)
+        graphs.append((r, c, nb))
+    batch = DenseBatch.from_graph_list(graphs, np_pad=32)
+    g = batch.to_graph()
+    x = rng.standard_normal((g.n_nodes, 6)).astype(np.float32)
+    # zero padded nodes for the flat-graph manual sum
+    mask = np.asarray(batch.node_mask).reshape(-1)
+    want = np.stack([
+        x[b * 32: b * 32 + graphs[b][2]].sum(axis=0) for b in range(4)
+    ])
+    got_dense = graph_pool(batch, jnp.asarray(x))
+    got_flat = graph_pool(g, jnp.asarray(x * mask[:, None]))
+    np.testing.assert_allclose(np.asarray(got_dense), want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_flat), want, rtol=1e-5, atol=1e-5)
+
+
+def test_gtmodel_train_step_decreases_loss(rng):
+    """One optax Adam step on a PATTERN-like batch lowers BCE loss
+    (role of train_gtconv.py's training loop)."""
+    graphs = []
+    for _ in range(8):
+        nb = int(rng.integers(20, 40))
+        r, c, _ = random_graph_coo(rng, nb, 5, zero_deg_frac=0.0)
+        graphs.append((r, c, nb))
+    batch = DenseBatch.from_graph_list(graphs, np_pad=64)
+    # PATTERN-style categorical node feature in {0,1,2}
+    x = jnp.asarray(rng.integers(0, 3, size=(batch.n_graphs * batch.np_pad,)))
+    y = jnp.asarray(rng.integers(0, 2, size=(batch.n_graphs, 1)).astype(np.float32))
+    model = GTModel("PATTERN", out_size=1, hidden_size=16, num_layers=2)
+    params = model.init(jax.random.key(0), batch, x)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        logits = model.apply(p, batch, x)
+        return optax.sigmoid_binary_cross_entropy(logits, y).mean()
+
+    l0, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = opt.update(grads, opt_state)
+    params = optax.apply_updates(params, updates)
+    l1 = loss_fn(params)
+    assert np.isfinite(l0) and l1 < l0
+
+
+def test_fullgraph_net_forward(rng):
+    g = make_graph(rng, 50, 5)
+    bg = build_buckets(g)
+    x = jnp.asarray(rng.standard_normal((50, 12)).astype(np.float32))
+    model = FullGraphNet(conv="gt", num_classes=7, hidden_size=16, num_layers=2)
+    params = model.init(jax.random.key(1), g, x, impl="reference")
+    out_ref = model.apply(params, g, x, impl="reference")
+    out_buk = model.apply(params, bg, x)
+    assert out_ref.shape == (50, 7)
+    # log-probs normalise
+    np.testing.assert_allclose(np.asarray(jnp.exp(out_ref)).sum(-1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_buk), np.asarray(out_ref), rtol=1e-3, atol=2e-4)
+
+
+def test_gatnet_forward_and_grad(rng):
+    g = make_graph(rng, 40, 4)
+    x = jnp.asarray(rng.standard_normal((40, 10)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, size=(40,)))
+    model = GATNet(num_classes=3, hidden_size=8, num_layers=2, num_heads=2)
+    params = model.init(jax.random.key(2), g, x)
+    def loss(p):
+        lp = model.apply(p, g, x)
+        return -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
+    l, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(l)
+    leaves = jax.tree.leaves(grads)
+    assert any(float(jnp.abs(a).max()) > 0 for a in leaves)
+
+
+def test_model_single_conv_wrapper(rng):
+    graphs = [(np.array([0, 1, 2]), np.array([1, 2, 0]), 3)]
+    batch = DenseBatch.from_graph_list(graphs, np_pad=8)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 3)).astype(np.float32))
+    m = Model("MNIST", conv="gt", hidden_size=16)
+    params = m.init(jax.random.key(0), batch, x)
+    out = m.apply(params, batch, x)
+    assert out.shape == (8, 16)

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Headline benchmark: fused GT attention conv, PATTERN-shaped batch.
+
+Config mirrors the reference's canonical batched benchmark
+(``bash/experiment/fig1_batch_graph.sh``: conv gt, dim 128, heads 1,
+batch 1024, PATTERN) on synthetic SBM graphs matching PATTERN's measured
+shape (~119 nodes, deg ~51).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+value = fused edges/s/chip and vs_baseline = speedup over the unfused
+XLA segment-op oracle (the role DGL-sparse plays for the reference).
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dfgnn_tpu.data.synthetic import pattern_like_batch
+    from dfgnn_tpu.graph import DenseBatch, Graph
+    from dfgnn_tpu.models import make_conv
+    from dfgnn_tpu.utils.benchmark import benchmark_chained
+
+    rng = np.random.default_rng(0)
+    BS, DIM, HEADS = 1024, 128, 1
+
+    graphs = [(r, c, n) for r, c, n, _ in pattern_like_batch(rng, BS)]
+    batch = DenseBatch.from_graph_list(graphs, np_pad=128)
+    n_flat = batch.n_graphs * batch.np_pad
+    x = jnp.asarray(rng.standard_normal((n_flat, DIM)).astype(np.float32))
+
+    layer = make_conv("gt", out_size=DIM, num_heads=HEADS, method="flash")
+    params = layer.init(jax.random.key(0), batch, x)
+    fused_ms = benchmark_chained(
+        lambda x: layer.apply(params, batch, x), x, iters=20
+    )
+    fused_eps = batch.n_edges / (fused_ms / 1e3)
+
+    # Unfused oracle on a subset (memory: O(E * dim) gathered temporaries),
+    # compared by rate.
+    SUB = 128
+    sub_graphs = graphs[:SUB]
+    sub_batch = DenseBatch.from_graph_list(sub_graphs, np_pad=128)
+    g = sub_batch.to_graph()
+    xs = x[: g.n_nodes]
+    oracle_ms = benchmark_chained(
+        lambda xs: layer.apply(params, g, xs, impl="reference"), xs, iters=5
+    )
+    oracle_eps = g.n_edges / (oracle_ms / 1e3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "fused GT conv edges/s/chip (PATTERN-like bs=1024 dim=128)",
+                "value": round(fused_eps),
+                "unit": "edges/s",
+                "vs_baseline": round(fused_eps / oracle_eps, 3),
+                "detail": {
+                    "fused_ms_per_batch": round(fused_ms, 3),
+                    "oracle_ms_per_subbatch": round(oracle_ms, 3),
+                    "oracle_edges_per_s": round(oracle_eps),
+                    "n_edges": batch.n_edges,
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

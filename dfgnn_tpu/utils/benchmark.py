@@ -1,0 +1,98 @@
+"""Timing + correctness harness.
+
+Parity with the reference's measurement protocol
+(``DFGNN/utils/util.py:368-400``): 3 warmup + 10 timed iterations, mean ms —
+but with TPU-correct synchronisation (``block_until_ready`` instead of CUDA
+events), plus a *chained* variant that runs the iterations inside one
+compiled program so sub-millisecond kernels aren't swamped by dispatch
+latency (the analog of the reference's cache-flushed ``benchmark_flush``
+discipline, ``gtconv_layer_hyper_ablation.py:8-27``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Timer:
+    """Wall-clock timer that synchronises the device (ref: CUDA-event Timer,
+    ``utils/util.py:368-388``)."""
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        jax.effects_barrier()
+        self.elapsed_ms = (time.perf_counter() - self.t0) * 1e3
+
+
+def benchmark(fn: Callable, *args, warmup: int = 3, iters: int = 10):
+    """Mean ms over ``iters`` runs after ``warmup`` runs (ref protocol,
+    ``utils/util.py:391-400``).  Returns (last_result, mean_ms)."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return out, (time.perf_counter() - t0) / iters * 1e3
+
+
+def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
+    """Mean ms per iteration with the loop *inside* one jitted program.
+
+    Each iteration is data-dependent on the previous (scalar carry folded
+    into the first argument) so XLA cannot elide or overlap iterations; the
+    full output is consumed via a sum so dead-code elimination cannot slice
+    the computation.  Use this for microsecond-scale kernels measured over
+    a high-latency dispatch path.
+    """
+
+    first = args[0]
+
+    def run(first, *rest):
+        def body(c, _):
+            out = fn(first + c, *rest)
+            return (jnp.sum(out) * 1e-30).astype(first.dtype), None
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), first.dtype), None, length=iters)
+        return c
+
+    jitted = jax.jit(run)
+    jitted(first, *args[1:]).block_until_ready()
+    t0 = time.perf_counter()
+    jitted(first, *args[1:]).block_until_ready()
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def check_correct(a, b, *, rtol: float = 1e-3, atol: float = 1e-5,
+                  max_report: int = 5, tolerate_per_node: int = 1) -> bool:
+    """Row-wise closeness check with per-node diagnostics.
+
+    Mirrors ``check_correct`` (``DFGNN/utils/util.py:211-236``): a node
+    counts as mismatched only if more than ``tolerate_per_node`` of its
+    elements violate ``isclose(rtol)``; offending nodes are printed with
+    both rows.  Returns True when all nodes pass.
+    """
+    a = np.asarray(a)
+    b = np.asarray(b)
+    flat_a = a.reshape(a.shape[0], -1)
+    flat_b = b.reshape(b.shape[0], -1)
+    close = np.isclose(flat_a, flat_b, rtol=rtol, atol=atol)
+    bad_counts = (~close).sum(axis=1)
+    bad_nodes = np.nonzero(bad_counts > tolerate_per_node)[0]
+    for i in bad_nodes[:max_report]:
+        print(f"check_correct: node {i} mismatch ({bad_counts[i]} elems)")
+        print("  a:", flat_a[i][:8])
+        print("  b:", flat_b[i][:8])
+    if bad_nodes.size:
+        print(f"check_correct: {bad_nodes.size}/{a.shape[0]} nodes mismatched")
+        return False
+    return True

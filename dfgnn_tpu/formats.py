@@ -69,29 +69,31 @@ class BucketedGraph:
 _EDGE_CHUNK = 1 << 15
 
 
-def build_buckets(
-    g: Graph,
+def bucket_rows_numpy(
+    indptr: np.ndarray,
+    cols: np.ndarray,
+    val: Optional[np.ndarray],
     *,
+    n_rows_space: int,
+    n_cols_space: int,
     min_width: int = 8,
     edge_chunk: int = _EDGE_CHUNK,
     widths: Optional[Sequence[int]] = None,
-) -> BucketedGraph:
-    """Host-side: split rows into power-of-two degree buckets and pad each
-    row's neighbor list to the bucket width.
+    row_pad_to: Optional[dict] = None,
+):
+    """Host-side core of :func:`build_buckets` over raw CSR arrays.
 
-    Replaces the reference's dynamic-shared-memory sizing
-    (``smem_consume``, ``layers/util.py:66-100``) with static compile-time
-    widths; padding waste is bounded by 2x within a bucket and is typically
-    ~1.2-1.4x on power-law graphs.
+    ``n_rows_space``/``n_cols_space`` are the sentinel pad indices for the
+    row-id and neighbor-id spaces (they differ for edge-partitioned graphs,
+    where rows are device-local and neighbors are global).  ``row_pad_to``
+    optionally forces ``{width: r_pad}`` so multiple partitions produce
+    identical shapes (SPMD requirement).  Returns a list of Buckets.
     """
-    indptr = np.asarray(g.indptr, dtype=np.int64)
-    cols = np.asarray(g.cols)
-    val = None if g.val is None else np.asarray(g.val)
     deg = indptr[1:] - indptr[:-1]
-    n = g.n_nodes
+    n_r = len(deg)
 
     if widths is None:
-        max_deg = int(deg.max()) if n > 0 else 0
+        max_deg = int(deg.max()) if n_r > 0 else 0
         widths = []
         w = min_width
         while True:
@@ -105,14 +107,21 @@ def build_buckets(
     for w in widths:
         sel = np.nonzero((deg > lo) & (deg <= w))[0]
         lo = w
-        if sel.size == 0:
-            continue
         r = sel.size
         chunk = max(8, edge_chunk // w)
-        r_pad = _round_up(r, chunk)
-        row_ids = np.full(r_pad, n, dtype=np.int32)
+        if row_pad_to is not None:
+            r_pad = row_pad_to.get(w, 0)
+            if r_pad == 0:
+                continue
+            assert r <= r_pad, (r, r_pad)
+        else:
+            if r == 0:
+                continue
+            r_pad = _round_up(r, chunk)
+        assert r_pad % chunk == 0 or r_pad == chunk
+        row_ids = np.full(r_pad, n_rows_space, dtype=np.int32)
         row_ids[:r] = sel
-        nbr = np.full((r_pad, w), n, dtype=np.int32)
+        nbr = np.full((r_pad, w), n_cols_space, dtype=np.int32)
         emask = np.zeros((r_pad, w), dtype=bool)
         bval = None if val is None else np.zeros((r_pad, w), dtype=np.float32)
         for i, rid in enumerate(sel):
@@ -133,6 +142,35 @@ def build_buckets(
                 row_chunk=int(chunk),
             )
         )
+    return buckets
+
+
+def build_buckets(
+    g: Graph,
+    *,
+    min_width: int = 8,
+    edge_chunk: int = _EDGE_CHUNK,
+    widths: Optional[Sequence[int]] = None,
+) -> BucketedGraph:
+    """Host-side: split rows into power-of-two degree buckets and pad each
+    row's neighbor list to the bucket width.
+
+    Replaces the reference's dynamic-shared-memory sizing
+    (``smem_consume``, ``layers/util.py:66-100``) with static compile-time
+    widths; padding waste is bounded by 2x within a bucket and is typically
+    ~1.2-1.4x on power-law graphs.
+    """
+    n = g.n_nodes
+    buckets = bucket_rows_numpy(
+        np.asarray(g.indptr, dtype=np.int64),
+        np.asarray(g.cols),
+        None if g.val is None else np.asarray(g.val),
+        n_rows_space=n,
+        n_cols_space=n,
+        min_width=min_width,
+        edge_chunk=edge_chunk,
+        widths=widths,
+    )
     return BucketedGraph(
         buckets=tuple(buckets),
         n_nodes=n,

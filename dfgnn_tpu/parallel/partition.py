@@ -1,0 +1,223 @@
+"""Edge-partitioned full-graph attention across a device mesh.
+
+The new multi-chip capability (no reference counterpart — DF-GNN is
+single-GPU, SURVEY.md section 2.3): one large graph's edges are partitioned
+by **destination row block** across devices, so edge-softmax stays entirely
+chip-local; only source features (k/v or GAT column scalars) are remote and
+are fetched with an ``all_gather`` over the mesh axis inside ``shard_map``,
+overlapped by XLA with local aggregation.  This is the graph analog of
+sequence parallelism: destination-partitioning == "each chip owns a slice
+of query rows", all-gather of sources == "KV all-gather".
+
+SPMD requires identical shapes per device, so partitions are built with a
+*harmonized* bucket structure: same widths list and same padded row counts
+on every device (``formats.bucket_rows_numpy(row_pad_to=...)``).
+
+Autodiff works end-to-end: the transpose of ``all_gather`` is
+``psum_scatter``, inserted by JAX.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dfgnn_tpu.formats import Bucket, BucketedGraph, bucket_rows_numpy
+from dfgnn_tpu.graph import Graph, _round_up
+from dfgnn_tpu.ops.bucket import bucket_graph_attention
+
+
+@struct.dataclass
+class EdgePartitionedGraph:
+    """Per-device bucketed CSR slices, stacked on a leading device axis.
+
+    ``buckets[i]`` arrays have shape ``[n_devices, r_pad_i(, width_i)]`` —
+    shard dim 0 over the mesh.  ``row_ids`` are device-local (0..n_local,
+    sentinel n_local); ``nbr`` are global node ids (sentinel n_nodes).
+    """
+
+    buckets: Tuple[Bucket, ...]
+    n_nodes: int = struct.field(pytree_node=False, default=0)   # global, padded
+    n_local: int = struct.field(pytree_node=False, default=0)   # rows per device
+    n_devices: int = struct.field(pytree_node=False, default=0)
+    n_edges: int = struct.field(pytree_node=False, default=0)
+    halo: Optional["HaloExchange"] = None
+
+
+@struct.dataclass
+class HaloExchange:
+    """Boundary-node gather plan: which remote rows each device needs.
+
+    ``recv_ids``: ``[n_devices, max_halo]`` global source ids this device
+    reads (padded with ``n_nodes``); remote features are fetched by
+    all-gather then gathered down to this set.  Reserved for the
+    halo-compressed exchange path (v2); the default path all-gathers.
+    """
+
+    recv_ids: jax.Array
+    max_halo: int = struct.field(pytree_node=False, default=0)
+
+
+def partition_graph(
+    g: Graph,
+    n_devices: int,
+    *,
+    min_width: int = 8,
+    widths=None,
+) -> EdgePartitionedGraph:
+    """Host-side: split rows into ``n_devices`` contiguous blocks and build
+    shape-harmonized per-device buckets."""
+    n = g.n_nodes
+    n_local = _round_up(n, n_devices) // n_devices
+    indptr = np.asarray(g.indptr, dtype=np.int64)
+    cols = np.asarray(g.cols)
+    val = None if g.val is None else np.asarray(g.val)
+
+    # widths shared across devices
+    deg = indptr[1:] - indptr[:-1]
+    max_deg = int(deg.max()) if n else 0
+    if widths is None:
+        widths = []
+        w = min_width
+        while True:
+            widths.append(w)
+            if w >= max_deg:
+                break
+            w *= 2
+
+    # first pass: per-device bucket row counts -> harmonized r_pad
+    per_dev = []
+    for d in range(n_devices):
+        lo_r, hi_r = d * n_local, min((d + 1) * n_local, n)
+        ip = indptr[lo_r : hi_r + 1] - indptr[lo_r]
+        if hi_r < (d + 1) * n_local:  # pad rows with degree 0
+            ip = np.concatenate([ip, np.full((d + 1) * n_local - hi_r, ip[-1])])
+        cs = cols[indptr[lo_r] : indptr[hi_r]]
+        vs = None if val is None else val[indptr[lo_r] : indptr[hi_r]]
+        per_dev.append((ip, cs, vs))
+
+    row_pad_to = {}
+    for w_i, w in enumerate(widths):
+        lo = 0 if w_i == 0 else widths[w_i - 1]
+        mx = 0
+        for ip, _, _ in per_dev:
+            dg = ip[1:] - ip[:-1]
+            mx = max(mx, int(((dg > lo) & (dg <= w)).sum()))
+        if mx:
+            chunk = max(8, (1 << 15) // w)
+            row_pad_to[w] = _round_up(mx, chunk)
+
+    all_buckets = []
+    for ip, cs, vs in per_dev:
+        bks = bucket_rows_numpy(
+            ip, cs, vs,
+            n_rows_space=n_local,
+            n_cols_space=n,
+            widths=widths,
+            row_pad_to=row_pad_to,
+        )
+        all_buckets.append(bks)
+
+    # stack per width across devices
+    stacked = []
+    for i in range(len(all_buckets[0])):
+        per = [bks[i] for bks in all_buckets]
+        b0 = per[0]
+        stacked.append(
+            Bucket(
+                row_ids=jnp.stack([b.row_ids for b in per]),
+                nbr=jnp.stack([b.nbr for b in per]),
+                emask=jnp.stack([b.emask for b in per]),
+                val=None if b0.val is None else jnp.stack([b.val for b in per]),
+                width=b0.width,
+                n_rows=max(b.n_rows for b in per),
+                row_chunk=b0.row_chunk,
+            )
+        )
+    return EdgePartitionedGraph(
+        buckets=tuple(stacked),
+        n_nodes=n,
+        n_local=n_local,
+        n_devices=n_devices,
+        n_edges=g.n_edges,
+    )
+
+
+def _pad_nodes(x, n_pad):
+    if x is None or x.shape[0] == n_pad:
+        return x
+    pad = [(0, n_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def dist_graph_attention(
+    pg: EdgePartitionedGraph,
+    mesh: Mesh,
+    q: Optional[jax.Array],
+    k: Optional[jax.Array],
+    v: jax.Array,
+    *,
+    score: str = "dot",
+    e_row: Optional[jax.Array] = None,
+    e_col: Optional[jax.Array] = None,
+    negative_slope: float = 0.2,
+    axis: str = "data",
+) -> jax.Array:
+    """Distributed fused attention conv over a row-partitioned graph.
+
+    Node-feature inputs/outputs are global ``[n_nodes_padded, ...]`` arrays
+    sharded (or shardable) on the node dim; inside ``shard_map`` each device
+    all-gathers the source-side operands and runs the local bucketed fused
+    computation for its row block.
+    """
+    n_pad = pg.n_local * pg.n_devices
+    q, k, v = (_pad_nodes(t, n_pad) for t in (q, k, v))
+    e_row = _pad_nodes(e_row, n_pad)
+    e_col = _pad_nodes(e_col, n_pad)
+
+    node_spec = P(axis)
+    bucket_spec = jax.tree.map(lambda _: P(axis), pg.buckets)
+
+    if score == "dot":
+        operands = (q, k, v)
+    else:
+        operands = (e_row, e_col, v)
+    specs = tuple(node_spec for _ in operands)
+
+    def body(buckets, *ops):
+        # strip the leading device axis from this shard's bucket slice
+        local_buckets = jax.tree.map(lambda x: x[0], buckets)
+        bg = BucketedGraph(
+            buckets=local_buckets, n_nodes=pg.n_local, n_edges=pg.n_edges
+        )
+        # sources are remote: gather over ICI (graph analog of KV all-gather)
+        if score == "dot":
+            q_l, k_l, v_l = ops
+            k_g = jax.lax.all_gather(k_l, axis, tiled=True)
+            v_g = jax.lax.all_gather(v_l, axis, tiled=True)
+            return bucket_graph_attention(
+                bg, q_l, k_g, v_g, score="dot", negative_slope=negative_slope
+            )
+        er_l, ec_l, v_l = ops
+        ec_g = jax.lax.all_gather(ec_l, axis, tiled=True)
+        v_g = jax.lax.all_gather(v_l, axis, tiled=True)
+        return bucket_graph_attention(
+            bg, None, None, v_g,
+            score="add", e_row=er_l, e_col=ec_g,
+            negative_slope=negative_slope,
+        )
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(bucket_spec,) + specs,
+        out_specs=node_spec,
+        check_vma=False,
+    )
+    out = fn(pg.buckets, *operands)
+    return out[: pg.n_nodes]

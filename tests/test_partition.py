@@ -1,0 +1,101 @@
+"""Edge-partitioned distributed attention on the 8-device CPU mesh vs the
+single-device oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfgnn_tpu.graph import Graph
+from dfgnn_tpu.ops import graph_attention_reference
+from dfgnn_tpu.parallel import make_mesh
+from dfgnn_tpu.parallel.partition import partition_graph, dist_graph_attention
+from helpers import make_graph, random_graph_coo
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_dist_dot_matches_oracle(rng, n_dev):
+    n, h, f = 200, 2, 16
+    g = make_graph(rng, n, 10)
+    pg = partition_graph(g, n_dev)
+    mesh = make_mesh(n_dev)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32)) for _ in range(3)
+    )
+    want = graph_attention_reference(g, q, k, v)
+    got = dist_graph_attention(pg, mesh, q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5)
+
+
+def test_dist_add_matches_oracle(rng):
+    n, h, f = 150, 1, 8
+    g = make_graph(rng, n, 6)
+    pg = partition_graph(g, 4)
+    mesh = make_mesh(4)
+    v = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+    er = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    ec = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    want = graph_attention_reference(g, None, None, v, score="add", e_row=er, e_col=ec)
+    got = dist_graph_attention(pg, mesh, None, None, v, score="add", e_row=er, e_col=ec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5)
+
+
+def test_dist_super_node(rng):
+    """Super-node row on one device; its neighbors span all shards."""
+    n, h, f = 400, 1, 8
+    g = make_graph(rng, n, 4, super_node_deg=350)
+    pg = partition_graph(g, 8)
+    mesh = make_mesh(8)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32)) for _ in range(3)
+    )
+    want = graph_attention_reference(g, q, k, v)
+    got = dist_graph_attention(pg, mesh, q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5)
+
+
+def test_dist_autodiff(rng):
+    """Grad flows through shard_map + all_gather (psum_scatter transpose)."""
+    n, h, f = 120, 1, 8
+    g = make_graph(rng, n, 5)
+    pg = partition_graph(g, 4)
+    mesh = make_mesh(4)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32)) for _ in range(3)
+    )
+    t = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(graph_attention_reference(g, q, k, v) * t), (0, 1, 2)
+    )(q, k, v)
+    g_dist = jax.grad(
+        lambda q, k, v: jnp.sum(dist_graph_attention(pg, mesh, q, k, v) * t), (0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(g_dist, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_dist_under_jit_with_shardings(rng):
+    """jit end-to-end with node-dim-sharded inputs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n, h, f = 160, 1, 8
+    g = make_graph(rng, n, 5)
+    n_dev = 8
+    pg = partition_graph(g, n_dev)
+    mesh = make_mesh(n_dev)
+    n_pad = pg.n_local * pg.n_devices
+    sh = NamedSharding(mesh, P("data"))
+
+    def pad(x):
+        return jnp.pad(x, [(0, n_pad - n), (0, 0), (0, 0)])
+
+    q, k, v = (
+        jax.device_put(
+            pad(jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))), sh
+        )
+        for _ in range(3)
+    )
+    want = graph_attention_reference(g, q[:n], k[:n], v[:n])
+    got = jax.jit(lambda q, k, v: dist_graph_attention(pg, mesh, q, k, v))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5)

@@ -30,7 +30,7 @@ def main():
     BS, DIM, HEADS = 1024, 128, 1
 
     graphs = [(r, c, n) for r, c, n, _ in pattern_like_batch(rng, BS)]
-    batch = DenseBatch.from_graph_list(graphs, np_pad=128)
+    batch = DenseBatch.from_graph_list(graphs, np_pad=128).device_put()
     n_flat = batch.n_graphs * batch.np_pad
     x = jnp.asarray(rng.standard_normal((n_flat, DIM)).astype(np.float32))
 
@@ -46,7 +46,7 @@ def main():
     SUB = 128
     sub_graphs = graphs[:SUB]
     sub_batch = DenseBatch.from_graph_list(sub_graphs, np_pad=128)
-    g = sub_batch.to_graph()
+    g = sub_batch.to_graph().device_put()
     xs = x[: g.n_nodes]
     oracle_ms = benchmark_chained(
         lambda xs: layer.apply(params, g, xs, impl="reference"), xs, iters=5

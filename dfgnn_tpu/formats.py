@@ -59,6 +59,11 @@ class BucketedGraph:
     graph_id: Optional[jax.Array] = None
     n_graphs: int = struct.field(pytree_node=False, default=1)
 
+    def device_put(self, sharding=None) -> "BucketedGraph":
+        from dfgnn_tpu.graph import device_put
+
+        return device_put(self, sharding)
+
     @property
     def padded_edges(self) -> int:
         return sum(b.row_ids.shape[0] * b.width for b in self.buckets)
@@ -133,10 +138,10 @@ def bucket_rows_numpy(
                 bval[i, :d] = val[s:e]
         buckets.append(
             Bucket(
-                row_ids=jnp.asarray(row_ids),
-                nbr=jnp.asarray(nbr),
-                emask=jnp.asarray(emask),
-                val=None if bval is None else jnp.asarray(bval),
+                row_ids=row_ids,
+                nbr=nbr,
+                emask=emask,
+                val=bval,
                 width=int(w),
                 n_rows=int(r),
                 row_chunk=int(chunk),

@@ -37,6 +37,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def device_put(tree, sharding=None):
+    """Move a host-constructed container's arrays onto device(s) once.
+
+    Containers are built with numpy leaves so host-side preprocessing never
+    reads back from the accelerator (device->host readback is catastrophic
+    over remote-attached TPUs).  Call this once before entering the compute
+    loop; jit would otherwise re-transfer on every call.
+    """
+    def put(x):
+        if sharding is not None:
+            return jax.device_put(x, sharding)
+        return jnp.asarray(x)
+
+    return jax.tree.map(put, tree)
+
+
 @struct.dataclass
 class Graph:
     """A (possibly block-diagonal-batched) sparse graph in padded CSR+COO form.
@@ -124,12 +140,12 @@ class Graph:
             val_p[:n_edges] = val
 
         return Graph(
-            indptr=jnp.asarray(indptr, dtype=jnp.int32),
-            rows=jnp.asarray(rows_p),
-            cols=jnp.asarray(cols_p),
-            val=None if val_p is None else jnp.asarray(val_p),
-            node_mask=None if node_mask is None else jnp.asarray(node_mask),
-            graph_id=None if graph_id is None else jnp.asarray(graph_id, dtype=jnp.int32),
+            indptr=indptr.astype(np.int32),
+            rows=rows_p,
+            cols=cols_p,
+            val=val_p,
+            node_mask=None if node_mask is None else np.asarray(node_mask),
+            graph_id=None if graph_id is None else np.asarray(graph_id, dtype=np.int32),
             n_nodes=int(n_nodes),
             n_edges=n_edges,
             n_graphs=int(n_graphs),
@@ -153,11 +169,14 @@ class Graph:
         cols_csc = np.full(e_pad, self.n_nodes, dtype=np.int32)
         cols_csc[: self.n_edges] = cols[order]
         return CSCAux(
-            col_ptr=jnp.asarray(col_ptr, dtype=jnp.int32),
-            rows=jnp.asarray(rows_csc),
-            cols=jnp.asarray(cols_csc),
-            edge_perm=jnp.asarray(perm),
+            col_ptr=col_ptr.astype(np.int32),
+            rows=rows_csc,
+            cols=cols_csc,
+            edge_perm=perm,
         )
+
+    def device_put(self, sharding=None) -> "Graph":
+        return device_put(self, sharding)
 
 
 @struct.dataclass
@@ -216,13 +235,16 @@ class DenseBatch:
             n_edges += int(rows.shape[0])
             n_nodes += int(n)
         return DenseBatch(
-            adj=jnp.asarray(adj),
-            node_mask=jnp.asarray(mask),
+            adj=adj,
+            node_mask=mask,
             n_graphs=B,
             np_pad=int(np_pad),
             n_edges=n_edges,
             n_nodes=n_nodes,
         )
+
+    def device_put(self, sharding=None) -> "DenseBatch":
+        return device_put(self, sharding)
 
     def to_graph(self) -> Graph:
         """Equivalent flattened block-diagonal edge-format Graph (host-side),

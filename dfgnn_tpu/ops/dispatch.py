@@ -39,17 +39,33 @@ def graph_attention(
     """
     kw = dict(score=score, e_row=e_row, e_col=e_col, negative_slope=negative_slope)
     if isinstance(g, DenseBatch):
-        if method in ("auto", "dense"):
-            return _dense.dense_graph_attention(g, q, k, v, **kw)
-        if method == "flash":
+        # auto -> Pallas flash kernel (fastest AND fp32-accurate); the XLA
+        # dense formulation stays reachable as method="dense", and is the
+        # automatic fallback when edge values are present (flash doesn't
+        # take them).
+        if method in ("auto", "flash") and g.val is None:
             from dfgnn_tpu.ops.pallas import flash_mask
 
             return flash_mask.flash_graph_attention(g, q, k, v, **kw)
+        if method in ("auto", "dense"):
+            return _dense.dense_graph_attention(g, q, k, v, **kw)
         raise ValueError(f"method {method!r} invalid for DenseBatch")
     if isinstance(g, BucketedGraph):
         if method in ("auto", "bucket"):
             return _bucket.bucket_graph_attention(g, q, k, v, **kw)
         raise ValueError(f"method {method!r} invalid for BucketedGraph")
+    from dfgnn_tpu.parallel.partition import EdgePartitionedGraph
+
+    if isinstance(g, EdgePartitionedGraph):
+        if g.mesh is None:
+            raise ValueError("EdgePartitionedGraph needs mesh= set (partition_graph(..., mesh=mesh))")
+        if method in ("auto", "dist"):
+            from dfgnn_tpu.parallel.partition import dist_graph_attention
+
+            return dist_graph_attention(
+                g, g.mesh, q, k, v, axis=g.axis, **kw
+            )
+        raise ValueError(f"method {method!r} invalid for EdgePartitionedGraph")
     if isinstance(g, Graph):
         if method in ("auto", "reference"):
             return _ref.graph_attention_reference(g, q, k, v, **kw)

@@ -46,6 +46,8 @@ class EdgePartitionedGraph:
     n_local: int = struct.field(pytree_node=False, default=0)   # rows per device
     n_devices: int = struct.field(pytree_node=False, default=0)
     n_edges: int = struct.field(pytree_node=False, default=0)
+    mesh: Optional[Mesh] = struct.field(pytree_node=False, default=None)
+    axis: str = struct.field(pytree_node=False, default="data")
     halo: Optional["HaloExchange"] = None
 
 
@@ -69,6 +71,8 @@ def partition_graph(
     *,
     min_width: int = 8,
     widths=None,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
 ) -> EdgePartitionedGraph:
     """Host-side: split rows into ``n_devices`` contiguous blocks and build
     shape-harmonized per-device buckets."""
@@ -130,10 +134,10 @@ def partition_graph(
         b0 = per[0]
         stacked.append(
             Bucket(
-                row_ids=jnp.stack([b.row_ids for b in per]),
-                nbr=jnp.stack([b.nbr for b in per]),
-                emask=jnp.stack([b.emask for b in per]),
-                val=None if b0.val is None else jnp.stack([b.val for b in per]),
+                row_ids=np.stack([np.asarray(b.row_ids) for b in per]),
+                nbr=np.stack([np.asarray(b.nbr) for b in per]),
+                emask=np.stack([np.asarray(b.emask) for b in per]),
+                val=None if b0.val is None else np.stack([np.asarray(b.val) for b in per]),
                 width=b0.width,
                 n_rows=max(b.n_rows for b in per),
                 row_chunk=b0.row_chunk,
@@ -145,6 +149,8 @@ def partition_graph(
         n_local=n_local,
         n_devices=n_devices,
         n_edges=g.n_edges,
+        mesh=mesh,
+        axis=axis,
     )
 
 

@@ -129,13 +129,16 @@ def bucket_rows_numpy(
         nbr = np.full((r_pad, w), n_cols_space, dtype=np.int32)
         emask = np.zeros((r_pad, w), dtype=bool)
         bval = None if val is None else np.zeros((r_pad, w), dtype=np.float32)
-        for i, rid in enumerate(sel):
-            s, e = indptr[rid], indptr[rid + 1]
-            d = e - s
-            nbr[i, :d] = cols[s:e]
-            emask[i, :d] = True
-            if bval is not None:
-                bval[i, :d] = val[s:e]
+        from dfgnn_tpu import native
+
+        if not native.bucket_fill(sel, indptr, cols, val, w, nbr, emask, bval):
+            for i, rid in enumerate(sel):
+                s, e = indptr[rid], indptr[rid + 1]
+                d = e - s
+                nbr[i, :d] = cols[s:e]
+                emask[i, :d] = True
+                if bval is not None:
+                    bval[i, :d] = val[s:e]
         buckets.append(
             Bucket(
                 row_ids=row_ids,

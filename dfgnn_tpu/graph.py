@@ -118,16 +118,19 @@ class Graph:
             val = np.asarray(val, dtype=np.float32)
 
         if sort and n_edges > 0:
-            order = np.argsort(rows, kind="stable")
-            rows = rows[order]
-            cols = cols[order]
-            if val is not None:
-                val = val[order]
+            from dfgnn_tpu import native
 
-        indptr = np.zeros(n_nodes + 1, dtype=np.int64)
-        if n_edges > 0:
-            np.add.at(indptr, rows + 1, 1)
-        indptr = np.cumsum(indptr)
+            indptr, cols, perm = native.csr_from_coo(rows, cols, n_nodes)
+            rows = np.repeat(
+                np.arange(n_nodes, dtype=np.int64), np.diff(indptr)
+            )
+            if val is not None:
+                val = val[perm]
+        else:
+            indptr = np.zeros(n_nodes + 1, dtype=np.int64)
+            if n_edges > 0:
+                np.add.at(indptr, rows + 1, 1)
+            indptr = np.cumsum(indptr)
 
         e_pad = max(_round_up(max(n_edges, 1), edge_pad_multiple), edge_pad_multiple)
         rows_p = np.full(e_pad, n_nodes, dtype=np.int32)
@@ -225,15 +228,19 @@ class DenseBatch:
         B = len(graphs)
         adj = np.zeros((B, np_pad, np_pad), dtype=bool)
         mask = np.zeros((B, np_pad), dtype=bool)
-        n_edges = 0
-        n_nodes = 0
-        for b, (rows, cols, n) in enumerate(graphs):
-            rows = np.asarray(rows)
-            cols = np.asarray(cols)
-            adj[b, rows, cols] = True
+        from dfgnn_tpu import native
+
+        offs = np.zeros(B + 1, dtype=np.int64)
+        for b, (r, c, n) in enumerate(graphs):
+            offs[b + 1] = offs[b] + len(r)
             mask[b, :n] = True
-            n_edges += int(rows.shape[0])
-            n_nodes += int(n)
+        all_r = np.concatenate([np.asarray(g[0], dtype=np.int64) for g in graphs])
+        all_c = np.concatenate([np.asarray(g[1], dtype=np.int64) for g in graphs])
+        if not native.fill_dense_adj(offs, all_r, all_c, adj):
+            for b, (rows, cols, n) in enumerate(graphs):
+                adj[b, np.asarray(rows), np.asarray(cols)] = True
+        n_edges = int(adj.sum())
+        n_nodes = int(mask.sum())
         return DenseBatch(
             adj=adj,
             node_mask=mask,

@@ -122,12 +122,15 @@ def bucket_graph_attention(
     out = jnp.zeros((bg.n_nodes + 1, h, f), dtype=v.dtype)
     for b in bg.buckets:
         r_pad, W = b.nbr.shape
-        n_chunks = r_pad // b.row_chunk
+        chunk = b.row_chunk
+        if chunk <= 0 or chunk > r_pad or r_pad % chunk:
+            chunk = r_pad
+        n_chunks = r_pad // chunk
         chunked = (
-            b.row_ids.reshape(n_chunks, b.row_chunk),
-            b.nbr.reshape(n_chunks, b.row_chunk, W),
-            b.emask.reshape(n_chunks, b.row_chunk, W),
-            None if b.val is None else b.val.reshape(n_chunks, b.row_chunk, W),
+            b.row_ids.reshape(n_chunks, chunk),
+            b.nbr.reshape(n_chunks, chunk, W),
+            b.emask.reshape(n_chunks, chunk, W),
+            None if b.val is None else b.val.reshape(n_chunks, chunk, W),
         )
         if W <= tile_width:
             fn = lambda a: _direct_chunk(a, q, k, v, e_row, e_col, score, negative_slope)

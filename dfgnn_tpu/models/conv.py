@@ -74,15 +74,21 @@ class GTConv(nn.Module):
 
 
 class GATConv(nn.Module):
-    """Additive-attention conv: score = LeakyReLU(a_l.Wh_row + a_r.Wh_col)."""
+    """Additive-attention conv: score = LeakyReLU(a_l.Wh_row + a_r.Wh_col).
+
+    ``dropout`` applies attention-weight dropout in training
+    (``deterministic=False``), matching the reference's fused-GAT edge
+    dropout (``fused_gatconv_kernel.cu:101-110``).
+    """
 
     out_size: int
     num_heads: int = 1
     negative_slope: float = 0.2
+    dropout: float = 0.0
     method: str = "auto"
 
     @nn.compact
-    def __call__(self, g, x, impl: Optional[str] = None):
+    def __call__(self, g, x, impl: Optional[str] = None, deterministic: bool = True):
         # reference: xavier_normal_ with relu gain sqrt(2) -> variance 2.0
         xavier_relu = nn.initializers.variance_scaling(2.0, "fan_avg", "normal")
         z = nn.Dense(
@@ -101,6 +107,8 @@ class GATConv(nn.Module):
             b, p = g.n_graphs, g.np_pad
             e_l = e_l.reshape(b, p, self.num_heads)
             e_r = e_r.reshape(b, p, self.num_heads)
+        rate = 0.0 if deterministic else self.dropout
+        rng = self.make_rng("dropout") if rate > 0.0 else None
         out = graph_attention(
             g,
             None,
@@ -110,6 +118,8 @@ class GATConv(nn.Module):
             e_row=e_l,
             e_col=e_r,
             negative_slope=self.negative_slope,
+            dropout_rate=rate,
+            dropout_rng=rng,
             method=impl or self.method,
         )
         return _merge_heads(out, g)

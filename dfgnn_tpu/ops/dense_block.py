@@ -60,6 +60,8 @@ def dense_graph_attention(
     e_row: Optional[jax.Array] = None,
     e_col: Optional[jax.Array] = None,
     negative_slope: float = 0.2,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Fused-by-XLA masked attention.  ``q,k,v``: ``[B, P, h, f]`` ->
     ``[B, P, h, f]``; rows with no edges produce zeros (reference's
@@ -72,4 +74,7 @@ def dense_graph_attention(
     ex = jnp.where(batch.adj[:, None], jnp.exp(s - jnp.maximum(m, _NEG_BIG)), 0.0)
     den = jnp.sum(ex, axis=-1, keepdims=True)
     w = jnp.where(den > 0, ex / jnp.where(den > 0, den, 1.0), 0.0)
+    if dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, w.shape)
+        w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhrc,bchf->brhf", w, v)

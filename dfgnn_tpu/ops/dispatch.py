@@ -29,6 +29,8 @@ def graph_attention(
     e_row: Optional[jax.Array] = None,
     e_col: Optional[jax.Array] = None,
     negative_slope: float = 0.2,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
     method: str = "auto",
 ):
     """Fused (or oracle) SDDMM -> edge-softmax -> SpMM attention convolution.
@@ -38,17 +40,18 @@ def graph_attention(
     (batched dense masked attention / flash kernel).
     """
     kw = dict(score=score, e_row=e_row, e_col=e_col, negative_slope=negative_slope)
+    drop = dict(dropout_rate=dropout_rate, dropout_rng=dropout_rng)
     if isinstance(g, DenseBatch):
         # auto -> Pallas flash kernel (fastest AND fp32-accurate); the XLA
         # dense formulation stays reachable as method="dense", and is the
         # automatic fallback when edge values are present (flash doesn't
         # take them).
-        if method in ("auto", "flash") and g.val is None:
+        if method in ("auto", "flash") and g.val is None and dropout_rate == 0.0:
             from dfgnn_tpu.ops.pallas import flash_mask
 
             return flash_mask.flash_graph_attention(g, q, k, v, **kw)
-        if method in ("auto", "dense"):
-            return _dense.dense_graph_attention(g, q, k, v, **kw)
+        if method in ("auto", "dense", "flash"):
+            return _dense.dense_graph_attention(g, q, k, v, **kw, **drop)
         raise ValueError(f"method {method!r} invalid for DenseBatch")
     if isinstance(g, BucketedGraph):
         if method in ("auto", "bucket"):
@@ -68,6 +71,6 @@ def graph_attention(
         raise ValueError(f"method {method!r} invalid for EdgePartitionedGraph")
     if isinstance(g, Graph):
         if method in ("auto", "reference"):
-            return _ref.graph_attention_reference(g, q, k, v, **kw)
+            return _ref.graph_attention_reference(g, q, k, v, **kw, **drop)
         raise ValueError(f"method {method!r} invalid for Graph")
     raise TypeError(f"unsupported graph layout {type(g)!r}")

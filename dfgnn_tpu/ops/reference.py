@@ -97,6 +97,14 @@ def spmm(g: Graph, weights: jax.Array, v: jax.Array) -> jax.Array:
     return out[: g.n_nodes]
 
 
+def attn_dropout(w: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
+    """Dropout on normalised attention weights with 1/(1-p) rescaling —
+    the reference's fused-GAT edge dropout semantics
+    (``fused_gatconv_kernel.cu:101-110``: curand mask > p, scaled)."""
+    keep = jax.random.bernoulli(rng, 1.0 - rate, w.shape)
+    return jnp.where(keep, w / (1.0 - rate), 0.0)
+
+
 def graph_attention_reference(
     g: Graph,
     q: Optional[jax.Array],
@@ -107,6 +115,8 @@ def graph_attention_reference(
     e_row: Optional[jax.Array] = None,
     e_col: Optional[jax.Array] = None,
     negative_slope: float = 0.2,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
     return_weights: bool = False,
 ):
     """Full unfused SDDMM -> edge-softmax -> SpMM attention convolution.
@@ -123,6 +133,8 @@ def graph_attention_reference(
     else:
         raise ValueError(f"unknown score mode {score!r}")
     w = edge_softmax(g, scores)
+    if dropout_rate > 0.0:
+        w = attn_dropout(w, dropout_rate, dropout_rng)
     out = spmm(g, w, v)
     if return_weights:
         return out, w

@@ -7,15 +7,18 @@ Full-graph strategy covering the roles of the reference's ``csr``,
 fused computation, with static shapes per degree bucket instead of dynamic
 shared memory.
 
-Memory discipline: gathered ``[rows, width, h, f]`` neighbor tensors are the
-big temporaries, so rows are processed in chunks (``lax.map``), and buckets
-wider than ``tile_width`` stream neighbor tiles with flash-attention-style
-online softmax rescaling — the same algebra as the reference's tiling kernel
+TPU cost model (measured): XLA row-gathers have a large per-call fixed
+overhead and only approach peak bandwidth for multi-million-row gathers.
+Therefore (a) all source-side operands are packed into ONE gather table per
+call (k||v for dot scores, v||e_col for additive scores) so each edge is
+gathered exactly once, and (b) row chunks are merged at compute time up to
+a byte budget so gathers are few and large.  Buckets wider than
+``tile_width`` stream neighbor tiles with flash-attention-style online
+softmax rescaling — the same algebra as the reference's tiling kernel
 (``fused_gtconv_tiling.cu:72-86``) — so super-node rows (reddit) never
 materialise their full neighborhood.
 
-Everything is XLA (jnp + scan/map): autodiff works end-to-end, and XLA fuses
-the mask/exp chains into the batched contractions.
+Everything is XLA (jnp + scan/map): autodiff works end-to-end.
 """
 
 from __future__ import annotations
@@ -29,33 +32,45 @@ from dfgnn_tpu.formats import Bucket, BucketedGraph
 
 _NEG_BIG = -1e30
 
+# target bytes for one chunk's gathered source tensor
+_GATHER_BUDGET_BYTES = 512 * 1024 * 1024
 
-def _chunk_scores(q_c, k_n, e_row_c, e_col_n, emask, val, score, negative_slope):
-    """Scores for one gathered chunk.
 
-    q_c: [C, h, f] (dot) / e_row_c: [C, h] (add); k_n/e_col_n gathered over
-    neighbors: [C, W, h, f] / [C, W, h].  Returns masked scores [C, h, W].
-    """
+def _scores_from_parts(q_c, k_n, er_c, ec_n, emask, val, score, negative_slope):
+    """Masked scores [C, h, W] from per-chunk operands."""
     if score == "dot":
         s = jnp.einsum("chf,cwhf->chw", q_c, k_n)
     else:
-        s = e_row_c[:, :, None] + e_col_n.transpose(0, 2, 1)
+        s = er_c[:, :, None] + ec_n.transpose(0, 2, 1)
         s = jax.nn.leaky_relu(s, negative_slope=negative_slope)
     if val is not None:
         s = s * val[:, None, :]
     return jnp.where(emask[:, None, :], s, _NEG_BIG)
 
 
-def _direct_chunk(args, q, k, v, e_row, e_col, score, negative_slope):
+def _take_src(src, flat, C, W):
+    """One combined gather of all source-side operands for a chunk."""
+    fs = src.shape[-1]
+    h = src.shape[1]
+    out = jnp.take(src, flat, axis=0, mode="clip").reshape(C, W, h, fs)
+    return out.astype(jnp.float32)
+
+
+def _split_src(src_n, score, f):
+    if score == "dot":
+        return src_n[..., :f], src_n[..., f:], None       # k_n, v_n
+    return None, src_n[..., :f], src_n[..., f]            # v_n, ec_n [C,W,h]
+
+
+def _direct_chunk(args, q, e_row, src, f, score, negative_slope):
     """One row-chunk, neighborhood fully materialised (width <= tile)."""
     row_ids, nbr, emask, val = args
-    flat = nbr.reshape(-1)
-    k_n = None if k is None else jnp.take(k, flat, axis=0, mode="clip").reshape(*nbr.shape, *k.shape[1:])
-    v_n = jnp.take(v, flat, axis=0, mode="clip").reshape(*nbr.shape, *v.shape[1:])
+    C, W = nbr.shape
+    src_n = _take_src(src, nbr.reshape(-1), C, W)
+    k_n, v_n, ec_n = _split_src(src_n, score, f)
     q_c = None if q is None else jnp.take(q, row_ids, axis=0, mode="clip")
     er_c = None if e_row is None else jnp.take(e_row, row_ids, axis=0, mode="clip")
-    ec_n = None if e_col is None else jnp.take(e_col, flat, axis=0, mode="clip").reshape(*nbr.shape, e_col.shape[1])
-    s = _chunk_scores(q_c, k_n, er_c, ec_n, emask, val, score, negative_slope)
+    s = _scores_from_parts(q_c, k_n, er_c, ec_n, emask, val, score, negative_slope)
     m = jnp.max(s, axis=-1, keepdims=True)
     ex = jnp.where(emask[:, None, :], jnp.exp(s - jnp.maximum(m, _NEG_BIG)), 0.0)
     den = jnp.sum(ex, axis=-1, keepdims=True)
@@ -63,14 +78,13 @@ def _direct_chunk(args, q, k, v, e_row, e_col, score, negative_slope):
     return jnp.einsum("chw,cwhf->chf", w, v_n)
 
 
-def _tiled_chunk(args, q, k, v, e_row, e_col, score, negative_slope, tile_width):
+def _tiled_chunk(args, q, e_row, src, f, score, negative_slope, tile_width):
     """One row-chunk of a super-wide bucket: stream neighbor tiles with
     online-softmax rescaling (reference tiling algebra,
     ``fused_gtconv_tiling.cu:72-86``)."""
     row_ids, nbr, emask, val = args
     C, W = nbr.shape
-    h = v.shape[1]
-    f = v.shape[2]
+    h = src.shape[1]
     n_tiles = W // tile_width
     q_c = None if q is None else jnp.take(q, row_ids, axis=0, mode="clip")
     er_c = None if e_row is None else jnp.take(e_row, row_ids, axis=0, mode="clip")
@@ -80,11 +94,9 @@ def _tiled_chunk(args, q, k, v, e_row, e_col, score, negative_slope, tile_width)
         sl = jax.lax.dynamic_slice_in_dim(nbr, t * tile_width, tile_width, axis=1)
         msl = jax.lax.dynamic_slice_in_dim(emask, t * tile_width, tile_width, axis=1)
         vsl = None if val is None else jax.lax.dynamic_slice_in_dim(val, t * tile_width, tile_width, axis=1)
-        flat = sl.reshape(-1)
-        k_n = None if k is None else jnp.take(k, flat, axis=0, mode="clip").reshape(C, tile_width, h, f)
-        v_n = jnp.take(v, flat, axis=0, mode="clip").reshape(C, tile_width, h, f)
-        ec_n = None if e_col is None else jnp.take(e_col, flat, axis=0, mode="clip").reshape(C, tile_width, h)
-        s = _chunk_scores(q_c, k_n, er_c, ec_n, msl, vsl, score, negative_slope)
+        src_n = _take_src(src, sl.reshape(-1), C, tile_width)
+        k_n, v_n, ec_n = _split_src(src_n, score, f)
+        s = _scores_from_parts(q_c, k_n, er_c, ec_n, msl, vsl, score, negative_slope)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         scale = jnp.exp(m - m_new)
         ex = jnp.where(msl[:, None, :], jnp.exp(s - m_new), 0.0)
@@ -93,12 +105,34 @@ def _tiled_chunk(args, q, k, v, e_row, e_col, score, negative_slope, tile_width)
         return (m_new, l_new, acc_new), None
 
     init = (
-        jnp.full((C, h, 1), _NEG_BIG, dtype=v.dtype),
-        jnp.zeros((C, h, 1), dtype=v.dtype),
-        jnp.zeros((C, h, f), dtype=v.dtype),
+        jnp.full((C, h, 1), _NEG_BIG, dtype=src.dtype),
+        jnp.zeros((C, h, 1), dtype=src.dtype),
+        jnp.zeros((C, h, f), dtype=src.dtype),
     )
     (m, l, acc), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
     return jnp.where(l > 0, acc / jnp.where(l > 0, l, 1.0), 0.0)
+
+
+def _pick_chunk(b: Bucket, r_pad: int, W: int, h: int, fs: int) -> int:
+    """Merge preprocessing chunks up to the gather byte budget (fewer,
+    larger gathers amortise XLA's per-gather fixed cost)."""
+    chunk0 = b.row_chunk
+    if chunk0 <= 0 or chunk0 > r_pad or r_pad % chunk0:
+        return r_pad
+    desired_rows = max(1, _GATHER_BUDGET_BYTES // max(W * h * fs * 4, 1))
+    m = max(1, desired_rows // chunk0)
+    n_chunks0 = r_pad // chunk0
+    # largest divisor of n_chunks0 that is <= m
+    best = 1
+    d = 1
+    while d * d <= n_chunks0:
+        if n_chunks0 % d == 0:
+            if d <= m:
+                best = max(best, d)
+            if n_chunks0 // d <= m:
+                best = max(best, n_chunks0 // d)
+        d += 1
+    return chunk0 * best
 
 
 def bucket_graph_attention(
@@ -112,19 +146,33 @@ def bucket_graph_attention(
     e_col: Optional[jax.Array] = None,
     negative_slope: float = 0.2,
     tile_width: int = 2048,
+    gather_dtype=None,
 ) -> jax.Array:
     """Fused SDDMM -> edge-softmax -> SpMM over all degree buckets.
 
     ``q,k,v``: ``[n_nodes, h, f]`` (dot) or ``e_row,e_col``: ``[n_nodes, h]``
     (add).  Returns ``[n_nodes, h, f]``; rows with no edges produce zeros.
+
+    ``gather_dtype=jnp.bfloat16`` halves the bytes of the gathered source
+    table (the dominant cost on full graphs); scores/accumulation stay
+    fp32.  Expect ~1e-2 relative error — outside the reference's rtol=1e-3
+    bar, so it is opt-in.
     """
     h, f = v.shape[1], v.shape[2]
+    if score == "dot":
+        src = jnp.concatenate([k, v], axis=-1)              # [N, h, 2f]
+    elif score == "add":
+        src = jnp.concatenate([v, e_col[..., None]], axis=-1)  # [N, h, f+1]
+    else:
+        raise ValueError(f"unknown score mode {score!r}")
+    if gather_dtype is not None:
+        src = src.astype(gather_dtype)
+    fs = src.shape[-1]
+
     out = jnp.zeros((bg.n_nodes + 1, h, f), dtype=v.dtype)
     for b in bg.buckets:
         r_pad, W = b.nbr.shape
-        chunk = b.row_chunk
-        if chunk <= 0 or chunk > r_pad or r_pad % chunk:
-            chunk = r_pad
+        chunk = _pick_chunk(b, r_pad, W, h, fs)
         n_chunks = r_pad // chunk
         chunked = (
             b.row_ids.reshape(n_chunks, chunk),
@@ -133,14 +181,14 @@ def bucket_graph_attention(
             None if b.val is None else b.val.reshape(n_chunks, chunk, W),
         )
         if W <= tile_width:
-            fn = lambda a: _direct_chunk(a, q, k, v, e_row, e_col, score, negative_slope)
+            fn = lambda a: _direct_chunk(a, q, e_row, src, f, score, negative_slope)
         else:
-            assert W % tile_width == 0
-            fn = lambda a: _tiled_chunk(a, q, k, v, e_row, e_col, score, negative_slope, tile_width)
+            tw = tile_width if W % tile_width == 0 else W
+            fn = lambda a: _tiled_chunk(a, q, e_row, src, f, score, negative_slope, tw)
         if n_chunks == 1:
             out_b = fn(tuple(None if x is None else x[0] for x in chunked))
             out_b = out_b[None]
         else:
             out_b = jax.lax.map(fn, chunked)
-        out = out.at[b.row_ids].set(out_b.reshape(r_pad, h, f), mode="drop", unique_indices=False)
+        out = out.at[b.row_ids].set(out_b.reshape(r_pad, h, f), mode="drop")
     return out[: bg.n_nodes]

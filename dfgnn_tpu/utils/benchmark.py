@@ -57,19 +57,45 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
 
     first = args[0]
 
-    def run(first, *rest):
-        def body(c, _):
-            out = fn(first + c, *rest)
-            return (jnp.sum(out) * 1e-30).astype(first.dtype), None
+    def make(n):
+        def run(seed, first, *rest):
+            def body(c, _):
+                out = fn(first + c, *rest)
+                # consume via max: unlike sum, a max-reduction cannot be
+                # algebraically distributed through matmuls/copies, so the
+                # loop body cannot be simplified away or hoisted.
+                return (jnp.max(out) * 1e-30).astype(first.dtype), None
 
-        c, _ = jax.lax.scan(body, jnp.zeros((), first.dtype), None, length=iters)
-        return c
+            c, _ = jax.lax.scan(body, seed.astype(first.dtype), None, length=n)
+            return c
 
-    jitted = jax.jit(run)
-    jitted(first, *args[1:]).block_until_ready()
-    t0 = time.perf_counter()
-    jitted(first, *args[1:]).block_until_ready()
-    return (time.perf_counter() - t0) / iters * 1e3
+        return jax.jit(run)
+
+    # Two measurement constraints of the remote-attached TPU path:
+    #  1. repeated executions with identical argument values are
+    #     deduplicated -> every timed call gets a fresh seed;
+    #  2. each (non-deduped) execution re-ships its input buffers through
+    #     the tunnel -> time DIFFERENTIALLY: run the loop at two iteration
+    #     counts and divide the time difference by the iteration
+    #     difference, cancelling the per-execution transfer cost.
+    n_lo = 2
+    n_hi = n_lo + iters
+    lo, hi = make(n_lo), make(n_hi)
+    rest = args[1:]
+    lo(jnp.zeros(()), first, *rest).block_until_ready()
+    hi(jnp.full((), 1e-13), first, *rest).block_until_ready()
+
+    def best(j, base):
+        ts = []
+        for trial in range(2):
+            t0 = time.perf_counter()
+            j(jnp.full((), base * (trial + 1)), first, *rest).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_lo = best(lo, 1e-12)
+    t_hi = best(hi, 1e-11)
+    return max(t_hi - t_lo, 1e-9) / iters * 1e3
 
 
 def check_correct(a, b, *, rtol: float = 1e-3, atol: float = 1e-5,

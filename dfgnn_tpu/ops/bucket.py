@@ -113,26 +113,11 @@ def _tiled_chunk(args, q, e_row, src, f, score, negative_slope, tile_width):
     return jnp.where(l > 0, acc / jnp.where(l > 0, l, 1.0), 0.0)
 
 
-def _pick_chunk(b: Bucket, r_pad: int, W: int, h: int, fs: int) -> int:
-    """Merge preprocessing chunks up to the gather byte budget (fewer,
-    larger gathers amortise XLA's per-gather fixed cost)."""
-    chunk0 = b.row_chunk
-    if chunk0 <= 0 or chunk0 > r_pad or r_pad % chunk0:
-        return r_pad
-    desired_rows = max(1, _GATHER_BUDGET_BYTES // max(W * h * fs * 4, 1))
-    m = max(1, desired_rows // chunk0)
-    n_chunks0 = r_pad // chunk0
-    # largest divisor of n_chunks0 that is <= m
-    best = 1
-    d = 1
-    while d * d <= n_chunks0:
-        if n_chunks0 % d == 0:
-            if d <= m:
-                best = max(best, d)
-            if n_chunks0 // d <= m:
-                best = max(best, n_chunks0 // d)
-        d += 1
-    return chunk0 * best
+def _pick_chunk(r_pad: int, W: int, h: int, fs: int, itemsize: int) -> int:
+    """Rows per chunk so one chunk's gathered tensor meets the byte budget
+    (few large gathers amortise XLA's per-gather fixed cost)."""
+    desired = max(8, _GATHER_BUDGET_BYTES // max(W * h * fs * itemsize, 1))
+    return min(r_pad, desired)
 
 
 def bucket_graph_attention(
@@ -172,13 +157,23 @@ def bucket_graph_attention(
     out = jnp.zeros((bg.n_nodes + 1, h, f), dtype=v.dtype)
     for b in bg.buckets:
         r_pad, W = b.nbr.shape
-        chunk = _pick_chunk(b, r_pad, W, h, fs)
-        n_chunks = r_pad // chunk
+        chunk = _pick_chunk(r_pad, W, h, fs, src.dtype.itemsize)
+        n_chunks = -(-r_pad // chunk)
+        r_pad2 = n_chunks * chunk
+        pad_n = r_pad2 - r_pad
+
+        def _padded(x, fill):
+            if pad_n == 0 or x is None:
+                return x
+            cfg = [(0, pad_n)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, cfg, constant_values=fill)
+
+        row_ids = _padded(b.row_ids, bg.n_nodes)
         chunked = (
-            b.row_ids.reshape(n_chunks, chunk),
-            b.nbr.reshape(n_chunks, chunk, W),
-            b.emask.reshape(n_chunks, chunk, W),
-            None if b.val is None else b.val.reshape(n_chunks, chunk, W),
+            row_ids.reshape(n_chunks, chunk),
+            _padded(b.nbr, bg.n_nodes).reshape(n_chunks, chunk, W),
+            _padded(b.emask, False).reshape(n_chunks, chunk, W),
+            None if b.val is None else _padded(b.val, 0.0).reshape(n_chunks, chunk, W),
         )
         if W <= tile_width:
             fn = lambda a: _direct_chunk(a, q, e_row, src, f, score, negative_slope)
@@ -190,5 +185,5 @@ def bucket_graph_attention(
             out_b = out_b[None]
         else:
             out_b = jax.lax.map(fn, chunked)
-        out = out.at[b.row_ids].set(out_b.reshape(r_pad, h, f), mode="drop")
+        out = out.at[row_ids].set(out_b.reshape(r_pad2, h, f), mode="drop")
     return out[: bg.n_nodes]

@@ -82,19 +82,26 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
     n_hi = n_lo + iters
     lo, hi = make(n_lo), make(n_hi)
     rest = args[1:]
-    lo(jnp.zeros(()), first, *rest).block_until_ready()
-    hi(jnp.full((), 1e-13), first, *rest).block_until_ready()
+    # seeds must be globally unique: the remote execution path caches
+    # results keyed on (program, input values) ACROSS processes.
+    import random as _random
 
-    def best(j, base):
+    def fresh():
+        return jnp.full((), _random.random() * 1e-12)
+
+    lo(fresh(), first, *rest).block_until_ready()
+    hi(fresh(), first, *rest).block_until_ready()
+
+    def best(j):
         ts = []
-        for trial in range(2):
+        for _ in range(2):
             t0 = time.perf_counter()
-            j(jnp.full((), base * (trial + 1)), first, *rest).block_until_ready()
+            j(fresh(), first, *rest).block_until_ready()
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_lo = best(lo, 1e-12)
-    t_hi = best(hi, 1e-11)
+    t_lo = best(lo)
+    t_hi = best(hi)
     return max(t_hi - t_lo, 1e-9) / iters * 1e3
 
 

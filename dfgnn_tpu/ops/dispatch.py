@@ -38,7 +38,17 @@ def graph_attention(
     ``g`` may be a :class:`Graph` (oracle segment-op path), a
     :class:`BucketedGraph` (fused full-graph path) or a :class:`DenseBatch`
     (batched dense masked attention / flash kernel).
+
+    The ``DFGNN_TPU_FORCE_METHOD`` environment variable overrides
+    ``method="auto"`` globally — the ablation switch replacing the
+    reference's ``alblation_mode`` env (``fused_gtconv_hyper_ablation.cu``):
+    e.g. ``DFGNN_TPU_FORCE_METHOD=dense`` disables the Pallas kernel,
+    ``=reference`` disables fusion entirely.
     """
+    import os
+
+    if method == "auto":
+        method = os.environ.get("DFGNN_TPU_FORCE_METHOD", "auto")
     kw = dict(score=score, e_row=e_row, e_col=e_col, negative_slope=negative_slope)
     drop = dict(dropout_rate=dropout_rate, dropout_rng=dropout_rng)
     if isinstance(g, DenseBatch):

@@ -214,7 +214,8 @@ def _synthetic_batched(name: str, n_graphs: int) -> BatchedGraphDataset:
     else:
         np_cap = 512 if "SP" in name else 128
         raw = syn.small_graph_batch(
-            rng, n_graphs, mean_nodes=min(mean_nodes, np_cap), deg=deg
+            rng, n_graphs, mean_nodes=min(mean_nodes, np_cap), deg=deg,
+            max_nodes=np_cap,
         )
         labels_l = []
         for r, c, n, _ in raw:

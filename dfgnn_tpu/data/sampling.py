@@ -96,16 +96,26 @@ class NeighborSampler:
         bg = BucketedGraph(buckets=(bucket,), n_nodes=s_pad, n_edges=int(mask.sum()))
         return SampledBlock(bg=bg, seeds=seeds_p, n_seeds=s)
 
-    def sample(self, seeds: np.ndarray, fanouts: Sequence[int], seed: int
-               ) -> List[SampledBlock]:
+    def sample(self, seeds: np.ndarray, fanouts: Sequence[int], seed: int,
+               pad_to: Optional[Sequence[int]] = None) -> List[SampledBlock]:
         """Layered sampling, output-layer first (blocks[0] aggregates into
         the seed nodes; blocks[-1] is the input-most layer).  Each deeper
         layer's seed set is the union of the previous layer's seeds and
-        sampled neighbors (GraphSAGE frontier expansion)."""
+        sampled neighbors (GraphSAGE frontier expansion).
+
+        ``pad_to`` fixes each layer's padded seed count so every mini-batch
+        shares one jit trace (frontiers exceeding the cap are truncated —
+        standard sampling approximation)."""
         blocks = []
         frontier = np.asarray(seeds, dtype=np.int64)
         for li, fanout in enumerate(fanouts):
-            blk = self.sample_layer(frontier, fanout, seed * 1000003 + li)
+            pad = None if pad_to is None else int(pad_to[li])
+            if pad is not None and len(frontier) > pad:
+                frontier = frontier[:pad]
+            blk = self.sample_layer(
+                frontier, fanout, seed * 1000003 + li,
+                seed_pad_multiple=pad if pad is not None else 128,
+            )
             blocks.append(blk)
             nbrs = blk.bg.buckets[0].nbr
             real = nbrs[nbrs < self.n]

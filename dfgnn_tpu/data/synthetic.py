@@ -61,11 +61,12 @@ def pattern_like_batch(rng, n_graphs: int, mean_nodes: int = 119,
     return out
 
 
-def small_graph_batch(rng, n_graphs: int, mean_nodes: int = 70, deg: int = 8):
+def small_graph_batch(rng, n_graphs: int, mean_nodes: int = 70, deg: int = 8,
+                      max_nodes: int = 128):
     """MNIST/CIFAR10-style batch: k-regular-ish sparse graphs."""
     out = []
     for _ in range(n_graphs):
-        n = int(np.clip(rng.normal(mean_nodes, 10), 10, 128))
+        n = int(np.clip(rng.normal(mean_nodes, mean_nodes / 8), 10, max_nodes))
         rows, cols = constant_degree_graph(rng, n, min(deg, n - 1))
         out.append((rows, cols, n, None))
     return out

@@ -79,6 +79,12 @@ def graph_attention(
                 g, g.mesh, q, k, v, axis=g.axis, **kw
             )
         raise ValueError(f"method {method!r} invalid for EdgePartitionedGraph")
+    from dfgnn_tpu.data.sampling import SampledBlock, sampled_block_attention
+
+    if isinstance(g, SampledBlock):
+        if method in ("auto", "sampled", "bucket"):
+            return sampled_block_attention(g, q, k, v, **kw)
+        raise ValueError(f"method {method!r} invalid for SampledBlock")
     if isinstance(g, Graph):
         if method in ("auto", "reference"):
             return _ref.graph_attention_reference(g, q, k, v, **kw, **drop)

@@ -78,3 +78,13 @@ def test_flash_under_jit_and_dispatch(rng):
     got = jax.jit(lambda q, k, v: graph_attention(batch, q, k, v, method="flash"))(q, k, v)
     want = dense_graph_attention(batch, q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_large_p_multihead(rng):
+    """COCO-SP-ish shapes: P=512, 4 heads."""
+    batch = _batch(rng, B=2, np_pad=512)
+    B, P, h, f = batch.n_graphs, batch.np_pad, 4, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((B, P, h, f)).astype(np.float32)) for _ in range(3))
+    want = dense_graph_attention(batch, q, k, v)
+    got = flash_graph_attention(batch, q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)

@@ -41,6 +41,14 @@ def main():
     )
     fused_eps = batch.n_edges / (fused_ms / 1e3)
 
+    import jax.numpy as jnp2
+    layer16 = make_conv("gt", out_size=DIM, num_heads=HEADS, method="flash",
+                        dtype=jnp2.bfloat16)
+    params16 = layer16.init(jax.random.key(0), batch, x)
+    bf16_ms = benchmark_chained(
+        lambda x: layer16.apply(params16, batch, x), x, iters=20
+    )
+
     # Unfused oracle on a subset (memory: O(E * dim) gathered temporaries),
     # compared by rate.
     SUB = 128
@@ -62,6 +70,8 @@ def main():
                 "vs_baseline": round(fused_eps / oracle_eps, 3),
                 "detail": {
                     "fused_ms_per_batch": round(fused_ms, 3),
+                    "bf16_ms_per_batch": round(bf16_ms, 3),
+                    "bf16_edges_per_s": round(batch.n_edges / (bf16_ms / 1e3)),
                     "oracle_ms_per_subbatch": round(oracle_ms, 3),
                     "oracle_edges_per_s": round(oracle_eps),
                     "n_edges": batch.n_edges,

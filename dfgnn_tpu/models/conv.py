@@ -50,18 +50,27 @@ def _merge_heads(out: jax.Array, g) -> jax.Array:
 
 
 class GTConv(nn.Module):
-    """Sparse multi-head scaled-dot attention (graph transformer conv)."""
+    """Sparse multi-head scaled-dot attention (graph transformer conv).
+
+    ``dtype=jnp.bfloat16`` runs projections and the attention kernel in
+    bf16 (fp32 softmax/accumulation inside the kernel) — the TPU fast
+    mode, ~2x memory bandwidth.  Default fp32 matches the reference's
+    numerics bar.
+    """
 
     out_size: int
     num_heads: int = 1
     method: str = "auto"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, g, x, impl: Optional[str] = None):
         head_dim = self.out_size // self.num_heads
-        q = nn.Dense(self.out_size, name="q_proj")(x) * (head_dim ** -0.5)
-        k = nn.Dense(self.out_size, name="k_proj")(x)
-        v = nn.Dense(self.out_size, name="v_proj")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        q = nn.Dense(self.out_size, name="q_proj", dtype=self.dtype)(x) * (head_dim ** -0.5)
+        k = nn.Dense(self.out_size, name="k_proj", dtype=self.dtype)(x)
+        v = nn.Dense(self.out_size, name="v_proj", dtype=self.dtype)(x)
         out = graph_attention(
             g,
             _split_heads(q, g, self.num_heads),

@@ -122,8 +122,8 @@ def _fwd_kernel_dot(q_ref, k_ref, v_ref, adj_ref, o_ref, lse_ref, *, slope, prec
 
 
 def _fwd_kernel_add(er_ref, ec_ref, v_ref, adj_ref, o_ref, lse_ref, *, slope, prec):
-    er = er_ref[:, 0, :]
-    ec = ec_ref[:, 0, :]
+    er = er_ref[:, 0, :].astype(jnp.float32)
+    ec = ec_ref[:, 0, :].astype(jnp.float32)
     v = v_ref[:, 0, :, :]
     adj = adj_ref[...] != 0
     pre = er[:, :, None] + ec[:, None, :]
@@ -179,9 +179,9 @@ def _bwd_kernel_dot(q_ref, k_ref, v_ref, adj_ref, lse_ref, do_ref, delta_ref,
     k = k_ref[:, 0, :, :]
     v = v_ref[:, 0, :, :]
     adj = adj_ref[...] != 0
-    lse = lse_ref[:, 0, :]
+    lse = lse_ref[:, 0, :].astype(jnp.float32)
     do = do_ref[:, 0, :, :]
-    delta = delta_ref[:, 0, :]
+    delta = delta_ref[:, 0, :].astype(jnp.float32)
     s = _bmm_nt(q, k, prec)
     p = jnp.where(adj, jnp.exp(s - lse[:, :, None]), 0.0)
     dp = _bmm_nt(do, v, prec)
@@ -193,21 +193,21 @@ def _bwd_kernel_dot(q_ref, k_ref, v_ref, adj_ref, lse_ref, do_ref, delta_ref,
 
 def _bwd_kernel_add(er_ref, ec_ref, v_ref, adj_ref, lse_ref, do_ref, delta_ref,
                     der_ref, dec_ref, dv_ref, *, slope, prec):
-    er = er_ref[:, 0, :]
-    ec = ec_ref[:, 0, :]
+    er = er_ref[:, 0, :].astype(jnp.float32)
+    ec = ec_ref[:, 0, :].astype(jnp.float32)
     v = v_ref[:, 0, :, :]
     adj = adj_ref[...] != 0
-    lse = lse_ref[:, 0, :]
+    lse = lse_ref[:, 0, :].astype(jnp.float32)
     do = do_ref[:, 0, :, :]
-    delta = delta_ref[:, 0, :]
+    delta = delta_ref[:, 0, :].astype(jnp.float32)
     pre = er[:, :, None] + ec[:, None, :]
     s = jnp.where(pre >= 0, pre, pre * slope)
     p = jnp.where(adj, jnp.exp(s - lse[:, :, None]), 0.0)
     dp = _bmm_nt(do, v, prec)
     ds = p * (dp - delta[:, :, None])
     dpre = jnp.where(pre >= 0, ds, ds * slope)
-    der_ref[:, 0, :] = jnp.sum(dpre, axis=2)
-    dec_ref[:, 0, :] = jnp.sum(dpre, axis=1)
+    der_ref[:, 0, :] = jnp.sum(dpre, axis=2).astype(der_ref.dtype)
+    dec_ref[:, 0, :] = jnp.sum(dpre, axis=1).astype(dec_ref.dtype)
     dv_ref[:, 0, :, :] = _bmm_tn(p.astype(do.dtype), do, prec).astype(dv_ref.dtype)
 
 
@@ -216,7 +216,7 @@ def _bwd(score, slope, interpret, prec, adj, res, do):
     B, h, P, f = v.shape
     G = _pick_graph_block(B, P, f, n_feat=8, n_mat=8)
     sp = _specs(G, P, f)
-    delta = jnp.einsum("bhpf,bhpf->bhp", do, out)
+    delta = jnp.einsum("bhpf,bhpf->bhp", do, out, preferred_element_type=jnp.float32)
     if score == "dot":
         kern = functools.partial(_bwd_kernel_dot, slope=slope, prec=prec)
         in_specs = [sp["feat"], sp["feat"], sp["feat"], sp["adj"], sp["row"], sp["feat"], sp["row"]]

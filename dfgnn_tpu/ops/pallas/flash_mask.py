@@ -19,8 +19,9 @@ Score modes:
   * ``add`` — GAT: s = leaky_relu(e_row_r + e_col_c)
 
 Shapes: q/k/v ``[B, P, h, f]``; adjacency mask ``[B, P, P]`` uint8; add-mode
-scalars are carried head-major ``[B, h, P]`` in-kernel so their lane
-dimension is the node axis.  Matmuls run at HIGHEST precision for fp32
+scalars and lse are carried head-major-first ``[h, B, P]`` in-kernel so the
+block's trailing dims are (graphs, nodes) — Mosaic-tileable for any head
+count.  Matmuls run at HIGHEST precision for fp32
 inputs (3-pass bf16) so fused-vs-oracle parity holds at the reference's
 rtol=1e-3 bar; pass ``precision="default"`` for max speed.
 """
@@ -66,8 +67,10 @@ def _pick_graph_block(B: int, P: int, f: int, n_feat: int, n_mat: int) -> int:
     budget = 9 * 1024 * 1024  # leave headroom under the 16MB scoped limit
     per_graph = n_feat * 2 * P * f * 4 + n_mat * P * P * 4 + 2 * P * P
     cap = max(1, budget // max(per_graph, 1))
-    g = 1
-    for cand in range(1, min(cap, B) + 1):
+    # Mosaic constraint on the [h, B, P] row operands (block (1, G, P)):
+    # the second-to-last block dim G must be a multiple of 8 or equal B.
+    g = B if B <= cap else 1
+    for cand in range(8, min(cap, B) + 1, 8):
         if B % cand == 0:
             g = cand
     return g
@@ -108,7 +111,7 @@ def _softmax_matmul(s, adj, v, o_ref, lse_ref, prec):
     p = ex * inv
     o_ref[:, 0, :, :] = _bmm_nn(p.astype(v.dtype), v, prec).astype(o_ref.dtype)
     lse = jnp.where(l > 0, m + jnp.log(jnp.where(l > 0, l, 1.0)), _NEG_BIG)
-    lse_ref[:, 0, :] = lse[:, :, 0]
+    lse_ref[0, :, :] = lse[:, :, 0]
 
 
 def _fwd_kernel_dot(q_ref, k_ref, v_ref, adj_ref, o_ref, lse_ref, *, slope, prec):
@@ -122,8 +125,8 @@ def _fwd_kernel_dot(q_ref, k_ref, v_ref, adj_ref, o_ref, lse_ref, *, slope, prec
 
 
 def _fwd_kernel_add(er_ref, ec_ref, v_ref, adj_ref, o_ref, lse_ref, *, slope, prec):
-    er = er_ref[:, 0, :].astype(jnp.float32)
-    ec = ec_ref[:, 0, :].astype(jnp.float32)
+    er = er_ref[0, :, :].astype(jnp.float32)
+    ec = ec_ref[0, :, :].astype(jnp.float32)
     v = v_ref[:, 0, :, :]
     adj = adj_ref[...] != 0
     pre = er[:, :, None] + ec[:, None, :]
@@ -135,7 +138,10 @@ def _specs(G, P, f):
     return dict(
         adj=pl.BlockSpec((G, P, P), lambda b, hh: (b, 0, 0), memory_space=pltpu.VMEM),
         feat=pl.BlockSpec((G, 1, P, f), lambda b, hh: (b, hh, 0, 0), memory_space=pltpu.VMEM),
-        row=pl.BlockSpec((G, 1, P), lambda b, hh: (b, hh, 0), memory_space=pltpu.VMEM),
+        # Row-shaped operands (GAT scores, lse, delta) are carried head-major
+        # [h, B, P] so the block's trailing dims (G, P) satisfy Mosaic's
+        # (8, 128)-divisible-or-full constraint for any head count.
+        row=pl.BlockSpec((1, G, P), lambda b, hh: (hh, b, 0), memory_space=pltpu.VMEM),
     )
 
 
@@ -145,7 +151,7 @@ def _fwd(adj, q, k, v, e_row, e_col, score, slope, interpret, prec):
     sp = _specs(G, P, f)
     out_shape = (
         jax.ShapeDtypeStruct((B, h, P, f), v.dtype),
-        jax.ShapeDtypeStruct((B, h, P), jnp.float32),
+        jax.ShapeDtypeStruct((h, B, P), jnp.float32),
     )
     out_specs = (sp["feat"], sp["row"])
     if score == "dot":
@@ -179,9 +185,9 @@ def _bwd_kernel_dot(q_ref, k_ref, v_ref, adj_ref, lse_ref, do_ref, delta_ref,
     k = k_ref[:, 0, :, :]
     v = v_ref[:, 0, :, :]
     adj = adj_ref[...] != 0
-    lse = lse_ref[:, 0, :].astype(jnp.float32)
+    lse = lse_ref[0, :, :].astype(jnp.float32)
     do = do_ref[:, 0, :, :]
-    delta = delta_ref[:, 0, :].astype(jnp.float32)
+    delta = delta_ref[0, :, :].astype(jnp.float32)
     s = _bmm_nt(q, k, prec)
     p = jnp.where(adj, jnp.exp(s - lse[:, :, None]), 0.0)
     dp = _bmm_nt(do, v, prec)
@@ -193,21 +199,21 @@ def _bwd_kernel_dot(q_ref, k_ref, v_ref, adj_ref, lse_ref, do_ref, delta_ref,
 
 def _bwd_kernel_add(er_ref, ec_ref, v_ref, adj_ref, lse_ref, do_ref, delta_ref,
                     der_ref, dec_ref, dv_ref, *, slope, prec):
-    er = er_ref[:, 0, :].astype(jnp.float32)
-    ec = ec_ref[:, 0, :].astype(jnp.float32)
+    er = er_ref[0, :, :].astype(jnp.float32)
+    ec = ec_ref[0, :, :].astype(jnp.float32)
     v = v_ref[:, 0, :, :]
     adj = adj_ref[...] != 0
-    lse = lse_ref[:, 0, :].astype(jnp.float32)
+    lse = lse_ref[0, :, :].astype(jnp.float32)
     do = do_ref[:, 0, :, :]
-    delta = delta_ref[:, 0, :].astype(jnp.float32)
+    delta = delta_ref[0, :, :].astype(jnp.float32)
     pre = er[:, :, None] + ec[:, None, :]
     s = jnp.where(pre >= 0, pre, pre * slope)
     p = jnp.where(adj, jnp.exp(s - lse[:, :, None]), 0.0)
     dp = _bmm_nt(do, v, prec)
     ds = p * (dp - delta[:, :, None])
     dpre = jnp.where(pre >= 0, ds, ds * slope)
-    der_ref[:, 0, :] = jnp.sum(dpre, axis=2).astype(der_ref.dtype)
-    dec_ref[:, 0, :] = jnp.sum(dpre, axis=1).astype(dec_ref.dtype)
+    der_ref[0, :, :] = jnp.sum(dpre, axis=2).astype(der_ref.dtype)
+    dec_ref[0, :, :] = jnp.sum(dpre, axis=1).astype(dec_ref.dtype)
     dv_ref[:, 0, :, :] = _bmm_tn(p.astype(do.dtype), do, prec).astype(dv_ref.dtype)
 
 
@@ -216,7 +222,7 @@ def _bwd(score, slope, interpret, prec, adj, res, do):
     B, h, P, f = v.shape
     G = _pick_graph_block(B, P, f, n_feat=8, n_mat=8)
     sp = _specs(G, P, f)
-    delta = jnp.einsum("bhpf,bhpf->bhp", do, out, preferred_element_type=jnp.float32)
+    delta = jnp.einsum("bhpf,bhpf->hbp", do, out, preferred_element_type=jnp.float32)
     if score == "dot":
         kern = functools.partial(_bwd_kernel_dot, slope=slope, prec=prec)
         in_specs = [sp["feat"], sp["feat"], sp["feat"], sp["adj"], sp["row"], sp["feat"], sp["row"]]
@@ -226,8 +232,8 @@ def _bwd(score, slope, interpret, prec, adj, res, do):
         kern = functools.partial(_bwd_kernel_add, slope=slope, prec=prec)
         in_specs = [sp["row"], sp["row"], sp["feat"], sp["adj"], sp["row"], sp["feat"], sp["row"]]
         out_shape = (
-            jax.ShapeDtypeStruct((B, h, P), a.dtype),
-            jax.ShapeDtypeStruct((B, h, P), b_.dtype),
+            jax.ShapeDtypeStruct((h, B, P), a.dtype),
+            jax.ShapeDtypeStruct((h, B, P), b_.dtype),
             jax.ShapeDtypeStruct((B, h, P, f), v.dtype),
         )
         out_specs = (sp["row"], sp["row"], sp["feat"])
@@ -304,7 +310,7 @@ def flash_graph_attention(
     Numerics match :func:`dfgnn_tpu.ops.dense_block.dense_graph_attention`
     (and therefore the unfused oracle) within the reference's rtol=1e-3 bar.
     ``e_row``/``e_col`` are accepted node-major ``[B, P, h]`` (layer
-    convention) and transposed to the kernel's head-major layout here.
+    convention) and transposed to the kernel's ``[h, B, P]`` layout here.
     """
     if batch.val is not None:
         raise NotImplementedError("flash path does not take edge values; use dense")
@@ -318,8 +324,8 @@ def flash_graph_attention(
     elif score == "add":
         out = _flash_add(
             adj,
-            e_row.transpose(0, 2, 1),
-            e_col.transpose(0, 2, 1),
+            e_row.transpose(2, 0, 1),  # [B,P,h] -> [h,B,P]
+            e_col.transpose(2, 0, 1),
             hm(v),
             negative_slope,
             interpret,

@@ -75,12 +75,12 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
     #  1. repeated executions with identical argument values are
     #     deduplicated -> every timed call gets a fresh seed;
     #  2. each (non-deduped) execution re-ships its input buffers through
-    #     the tunnel -> time DIFFERENTIALLY: run the loop at two iteration
-    #     counts and divide the time difference by the iteration
-    #     difference, cancelling the per-execution transfer cost.
-    n_lo = 2
-    n_hi = n_lo + iters
-    lo, hi = make(n_lo), make(n_hi)
+    #     the tunnel, with ~10ms latency VARIANCE per execution -> time
+    #     DIFFERENTIALLY: run the loop at two iteration counts and divide
+    #     the time difference by the iteration difference, cancelling the
+    #     per-execution transfer cost.  The iteration delta must make the
+    #     compute difference dominate the tunnel jitter, so when the delta
+    #     is not clearly resolved we double ``iters`` and retry.
     rest = args[1:]
     # seeds must be globally unique: the remote execution path caches
     # results keyed on (program, input values) ACROSS processes.
@@ -89,20 +89,27 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
     def fresh():
         return jnp.full((), _random.random() * 1e-12)
 
-    lo(fresh(), first, *rest).block_until_ready()
-    hi(fresh(), first, *rest).block_until_ready()
-
-    def best(j):
+    def best(j, repeats=3):
         ts = []
-        for _ in range(2):
+        for _ in range(repeats):
             t0 = time.perf_counter()
             j(fresh(), first, *rest).block_until_ready()
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return min(ts), max(ts) - min(ts)
 
-    t_lo = best(lo)
-    t_hi = best(hi)
-    return max(t_hi - t_lo, 1e-9) / iters * 1e3
+    n_lo = 2
+    for _attempt in range(4):
+        lo, hi = make(n_lo), make(n_lo + iters)
+        lo(fresh(), first, *rest).block_until_ready()
+        hi(fresh(), first, *rest).block_until_ready()
+        t_lo, spread_lo = best(lo)
+        t_hi, spread_hi = best(hi)
+        diff = t_hi - t_lo
+        jitter = max(spread_lo, spread_hi, 1e-4)
+        if diff > 2.0 * jitter:
+            break
+        iters *= 2
+    return max(diff, 1e-9) / iters * 1e3
 
 
 def check_correct(a, b, *, rtol: float = 1e-3, atol: float = 1e-5,

@@ -50,6 +50,35 @@ class Bucket:
 
 
 @struct.dataclass
+class SegmentBucket:
+    """Fixed-width segments of super-wide rows (degree > ``split_width``).
+
+    A row of degree d occupies ``ceil(d / width)`` consecutive segments, so
+    padding waste is bounded by one segment per row — instead of rounding d
+    up to the next power-of-two bucket width.  Per-segment partial softmax
+    states (m, l, acc) are merged per row with the associative online-softmax
+    combine (the reference tiling kernel's rescale algebra,
+    ``fused_gtconv_tiling.cu:72-86``, applied across segments).
+
+    ``seg_id`` maps each segment to its compact wide-row index (sorted
+    ascending; padding uses the out-of-range bin ``n_rows``);
+    ``seg_dst``/``wide_rows`` give destination node ids per segment /
+    per compact row.
+    """
+
+    nbr: jax.Array        # [s_pad, width] int32 (pad: n_cols sentinel)
+    emask: jax.Array      # [s_pad, width] bool
+    seg_id: jax.Array     # [s_pad] int32, sorted; pad = n_rows
+    seg_dst: jax.Array    # [s_pad] int32 destination node id (pad sentinel)
+    wide_rows: jax.Array  # [n_rows] int32 destination node per compact row
+    val: Optional[jax.Array] = None   # [s_pad, width] f32
+    width: int = struct.field(pytree_node=False, default=0)
+    n_rows: int = struct.field(pytree_node=False, default=0)
+    n_segments: int = struct.field(pytree_node=False, default=0)  # real
+    row_chunk: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
 class BucketedGraph:
     """Degree-bucketed padded-CSR layout of one (full) graph."""
 
@@ -58,6 +87,7 @@ class BucketedGraph:
     n_edges: int = struct.field(pytree_node=False, default=0)
     graph_id: Optional[jax.Array] = None
     n_graphs: int = struct.field(pytree_node=False, default=1)
+    segments: Optional[SegmentBucket] = None
 
     def device_put(self, sharding=None) -> "BucketedGraph":
         from dfgnn_tpu.graph import device_put
@@ -66,7 +96,10 @@ class BucketedGraph:
 
     @property
     def padded_edges(self) -> int:
-        return sum(b.row_ids.shape[0] * b.width for b in self.buckets)
+        tot = sum(b.row_ids.shape[0] * b.width for b in self.buckets)
+        if self.segments is not None:
+            tot += self.segments.nbr.shape[0] * self.segments.width
+        return tot
 
 
 # Edge budget per compute chunk (rows-at-once x bucket width); bounds the
@@ -153,26 +186,114 @@ def bucket_rows_numpy(
     return buckets
 
 
+def _width_ladder(min_width: int, max_w: int) -> list:
+    """~x1.5 geometric width ladder (8, 12, 16, 24, 32, 48, ...): finer than
+    power-of-two so per-row padding waste averages ~17% instead of ~33%."""
+    widths = []
+    w = min_width
+    while True:
+        widths.append(w)
+        if w >= max_w:
+            break
+        widths.append(w + w // 2)
+        if w + w // 2 >= max_w:
+            break
+        w *= 2
+    return widths
+
+
+def segment_rows_numpy(
+    indptr: np.ndarray,
+    cols: np.ndarray,
+    val: Optional[np.ndarray],
+    sel: np.ndarray,
+    *,
+    width: int,
+    n_rows_space: int,
+    n_cols_space: int,
+    edge_chunk: int = _EDGE_CHUNK,
+) -> Optional[SegmentBucket]:
+    """Lay the rows in ``sel`` out as fixed-``width`` edge segments."""
+    if sel.size == 0:
+        return None
+    deg = (indptr[1:] - indptr[:-1])[sel]
+    R = int(sel.size)
+    nseg = -(-deg // width)
+    S = int(nseg.sum())
+    chunk = max(8, edge_chunk // width)
+    s_pad = _round_up(S, chunk)
+
+    seg_id = np.full(s_pad, R, dtype=np.int32)
+    seg_id[:S] = np.repeat(np.arange(R, dtype=np.int32), nseg)
+    seg_dst = np.full(s_pad, n_rows_space, dtype=np.int32)
+    seg_dst[:S] = np.repeat(sel.astype(np.int32), nseg)
+
+    # vectorized per-edge fill
+    E_w = int(deg.sum())
+    edge_row = np.repeat(np.arange(R), deg)                       # compact row
+    within = np.arange(E_w) - np.repeat(np.cumsum(deg) - deg, deg)
+    seg_start = np.cumsum(nseg) - nseg
+    seg_of_edge = seg_start[edge_row] + within // width
+    lane = within % width
+    edge_idx = np.repeat(indptr[sel], deg) + within
+    nbr = np.full((s_pad, width), n_cols_space, dtype=np.int32)
+    emask = np.zeros((s_pad, width), dtype=bool)
+    nbr[seg_of_edge, lane] = cols[edge_idx]
+    emask[seg_of_edge, lane] = True
+    bval = None
+    if val is not None:
+        bval = np.zeros((s_pad, width), dtype=np.float32)
+        bval[seg_of_edge, lane] = val[edge_idx]
+    return SegmentBucket(
+        nbr=nbr, emask=emask, seg_id=seg_id, seg_dst=seg_dst,
+        wide_rows=sel.astype(np.int32), val=bval,
+        width=int(width), n_rows=R, n_segments=S, row_chunk=int(chunk),
+    )
+
+
 def build_buckets(
     g: Graph,
     *,
     min_width: int = 8,
     edge_chunk: int = _EDGE_CHUNK,
     widths: Optional[Sequence[int]] = None,
+    split_width: Optional[int] = 256,
 ) -> BucketedGraph:
-    """Host-side: split rows into power-of-two degree buckets and pad each
-    row's neighbor list to the bucket width.
+    """Host-side: split rows into degree buckets (padded neighbor lists) and
+    lay super-wide rows (degree > ``split_width``) out as fixed-width edge
+    segments merged by online softmax.
 
     Replaces the reference's dynamic-shared-memory sizing
     (``smem_consume``, ``layers/util.py:66-100``) with static compile-time
-    widths; padding waste is bounded by 2x within a bucket and is typically
-    ~1.2-1.4x on power-law graphs.
+    widths.  The gather is per-row-overhead bound on TPU, so padded-edge
+    count is the cost model: the ~x1.5 ladder + segment splitting keeps
+    padding to ~1.1x on power-law graphs (vs ~1.5x for pure power-of-two
+    buckets).  ``split_width=None`` disables splitting (the pure-bucket
+    layout; super-wide buckets then stream via the online-softmax tiled
+    path).
     """
     n = g.n_nodes
+    indptr = np.asarray(g.indptr, dtype=np.int64)
+    cols = np.asarray(g.cols)
+    val = None if g.val is None else np.asarray(g.val)
+    deg = indptr[1:] - indptr[:-1]
+    max_deg = int(deg.max()) if n else 0
+
+    segments = None
+    if widths is None:
+        if split_width is not None and max_deg > split_width:
+            widths = _width_ladder(min_width, split_width)
+            sel = np.nonzero(deg > split_width)[0]
+            segments = segment_rows_numpy(
+                indptr, cols, val, sel,
+                width=split_width, n_rows_space=n, n_cols_space=n,
+                edge_chunk=edge_chunk,
+            )
+        else:
+            widths = _width_ladder(min_width, max_deg)
+
     buckets = bucket_rows_numpy(
-        np.asarray(g.indptr, dtype=np.int64),
-        np.asarray(g.cols),
-        None if g.val is None else np.asarray(g.val),
+        indptr, cols, val,
         n_rows_space=n,
         n_cols_space=n,
         min_width=min_width,
@@ -185,6 +306,7 @@ def build_buckets(
         n_edges=g.n_edges,
         graph_id=g.graph_id,
         n_graphs=g.n_graphs,
+        segments=segments,
     )
 
 

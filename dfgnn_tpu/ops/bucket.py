@@ -7,16 +7,20 @@ Full-graph strategy covering the roles of the reference's ``csr``,
 fused computation, with static shapes per degree bucket instead of dynamic
 shared memory.
 
-TPU cost model (measured): XLA row-gathers have a large per-call fixed
-overhead and only approach peak bandwidth for multi-million-row gathers.
-Therefore (a) all source-side operands are packed into ONE gather table per
-call (k||v for dot scores, v||e_col for additive scores) so each edge is
-gathered exactly once, and (b) row chunks are merged at compute time up to
-a byte budget so gathers are few and large.  Buckets wider than
-``tile_width`` stream neighbor tiles with flash-attention-style online
-softmax rescaling — the same algebra as the reference's tiling kernel
-(``fused_gtconv_tiling.cu:72-86``) — so super-node rows (reddit) never
-materialise their full neighborhood.
+TPU cost model (measured on v5e): XLA row-gathers are per-ROW-overhead
+bound (~4ns/row for 256B-1KB rows, independent of sortedness or dtype), so
+padded-edge COUNT is the cost of this path.  Therefore (a) all source-side
+operands are packed into ONE gather table per call (k||v for dot scores,
+v||e_col for additive scores) so each edge is gathered exactly once, (b)
+the layout minimises padded edges (x1.5 width ladder + fixed-width segments
+for super-wide rows, see ``formats.build_buckets``), and (c) row chunks are
+kept at VMEM scale (``_GATHER_BUDGET_BYTES``) so XLA fuses the gather into
+its consumers instead of round-tripping the gathered buffer through HBM.
+Super-wide rows are handled by the segment layout's per-segment partial
+(m, l, acc) states merged with the online-softmax combine — the same
+algebra as the reference's tiling kernel (``fused_gtconv_tiling.cu:72-86``);
+the in-chunk ``_tiled_chunk`` scan remains for ``split_width=None``
+layouts.
 
 Everything is XLA (jnp + scan/map): autodiff works end-to-end.
 """
@@ -32,8 +36,12 @@ from dfgnn_tpu.formats import Bucket, BucketedGraph
 
 _NEG_BIG = -1e30
 
-# target bytes for one chunk's gathered source tensor
-_GATHER_BUDGET_BYTES = 512 * 1024 * 1024
+# Target bytes for one chunk's gathered source tensor.  Measured on TPU
+# v5e (quarter-reddit, dim 128): VMEM-scale chunks (8-16MB) let XLA fuse
+# gather -> score -> softmax -> aggregate without an HBM round trip of the
+# gathered buffer (19.5ms vs 27ms at 512MB); the remaining cost is the
+# per-row random-gather floor (~4ns/padded edge).
+_GATHER_BUDGET_BYTES = 16 * 1024 * 1024
 
 
 def _scores_from_parts(q_c, k_n, er_c, ec_n, emask, val, score, negative_slope):
@@ -104,13 +112,72 @@ def _tiled_chunk(args, q, e_row, src, f, score, negative_slope, tile_width):
         acc_new = acc * scale + jnp.einsum("chw,cwhf->chf", ex, v_n)
         return (m_new, l_new, acc_new), None
 
+    # carries are fp32 regardless of gather_dtype (accumulation stays fp32)
     init = (
-        jnp.full((C, h, 1), _NEG_BIG, dtype=src.dtype),
-        jnp.zeros((C, h, 1), dtype=src.dtype),
-        jnp.zeros((C, h, f), dtype=src.dtype),
+        jnp.full((C, h, 1), _NEG_BIG, dtype=jnp.float32),
+        jnp.zeros((C, h, 1), dtype=jnp.float32),
+        jnp.zeros((C, h, f), dtype=jnp.float32),
     )
     (m, l, acc), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
     return jnp.where(l > 0, acc / jnp.where(l > 0, l, 1.0), 0.0)
+
+
+def _segment_partials(args, q, e_row, src, f, score, negative_slope):
+    """Per-segment partial softmax state (m, l, acc) for one chunk of
+    fixed-width segments (the online-softmax block state of the reference's
+    tiling kernel, ``fused_gtconv_tiling.cu:72-86``, one tile per segment)."""
+    seg_dst, nbr, emask, val = args
+    C, W = nbr.shape
+    src_n = _take_src(src, nbr.reshape(-1), C, W)
+    k_n, v_n, ec_n = _split_src(src_n, score, f)
+    q_c = None if q is None else jnp.take(q, seg_dst, axis=0, mode="clip")
+    er_c = None if e_row is None else jnp.take(e_row, seg_dst, axis=0, mode="clip")
+    s = _scores_from_parts(q_c, k_n, er_c, ec_n, emask, val, score, negative_slope)
+    m = jnp.max(s, axis=-1)                                   # [C, h]
+    ex = jnp.where(emask[:, None, :], jnp.exp(s - m[..., None]), 0.0)
+    l = jnp.sum(ex, axis=-1)                                  # [C, h]
+    acc = jnp.einsum("chw,cwhf->chf", ex, v_n)                # [C, h, f]
+    return m, l, acc
+
+
+def _segments_attention(sb, q, e_row, src, f, score, negative_slope, out):
+    """Compute super-wide rows from their segments and merge per row with
+    the associative online-softmax combine (exact softmax)."""
+    h = src.shape[1]
+    s_pad, W = sb.nbr.shape
+    chunk = _pick_chunk(s_pad, W, h, src.shape[-1], src.dtype.itemsize)
+    chunk = min(chunk, s_pad)
+    if s_pad % chunk != 0:
+        chunk = sb.row_chunk
+    n_chunks = s_pad // chunk
+    args = (
+        sb.seg_dst.reshape(n_chunks, chunk),
+        sb.nbr.reshape(n_chunks, chunk, W),
+        sb.emask.reshape(n_chunks, chunk, W),
+        None if sb.val is None else sb.val.reshape(n_chunks, chunk, W),
+    )
+    fn = lambda a: _segment_partials(a, q, e_row, src, f, score, negative_slope)
+    if n_chunks == 1:
+        parts = jax.tree.map(lambda x: x[None], fn(tuple(
+            None if x is None else x[0] for x in args)))
+    else:
+        parts = jax.lax.map(fn, args)
+    m_s, l_s, acc_s = (x.reshape((s_pad,) + x.shape[2:]) for x in parts)
+
+    R = int(sb.wide_rows.shape[0])
+    bins = R + 1  # last bin absorbs segment padding
+    m_r = jax.ops.segment_max(m_s, sb.seg_id, num_segments=bins,
+                              indices_are_sorted=True)
+    m_r = jnp.maximum(m_r, _NEG_BIG)  # empty bins: -inf -> finite
+    scale = jnp.exp(m_s - m_r[sb.seg_id])
+    l_r = jax.ops.segment_sum(l_s * scale, sb.seg_id, num_segments=bins,
+                              indices_are_sorted=True)
+    acc_r = jax.ops.segment_sum(acc_s * scale[..., None], sb.seg_id,
+                                num_segments=bins, indices_are_sorted=True)
+    out_r = jnp.where(l_r[..., None] > 0,
+                      acc_r / jnp.where(l_r[..., None] > 0, l_r[..., None], 1.0),
+                      0.0)[:R]
+    return out.at[sb.wide_rows].set(out_r.astype(out.dtype), mode="drop")
 
 
 def _pick_chunk(r_pad: int, W: int, h: int, fs: int, itemsize: int) -> int:
@@ -139,9 +206,9 @@ def bucket_graph_attention(
     (add).  Returns ``[n_nodes, h, f]``; rows with no edges produce zeros.
 
     ``gather_dtype=jnp.bfloat16`` halves the bytes of the gathered source
-    table (the dominant cost on full graphs); scores/accumulation stay
-    fp32.  Expect ~1e-2 relative error — outside the reference's rtol=1e-3
-    bar, so it is opt-in.
+    table; scores/accumulation stay fp32.  The gather is row-overhead
+    bound, so this saves memory rather than time; expect ~1e-2 relative
+    error — outside the reference's rtol=1e-3 bar, so it is opt-in.
     """
     h, f = v.shape[1], v.shape[2]
     if score == "dot":
@@ -186,4 +253,8 @@ def bucket_graph_attention(
         else:
             out_b = jax.lax.map(fn, chunked)
         out = out.at[row_ids].set(out_b.reshape(r_pad2, h, f), mode="drop")
+    if bg.segments is not None:
+        out = _segments_attention(
+            bg.segments, q, e_row, src, f, score, negative_slope, out
+        )
     return out[: bg.n_nodes]

@@ -32,16 +32,25 @@ class Timer:
         self.elapsed_ms = (time.perf_counter() - self.t0) * 1e3
 
 
+def _sync(out):
+    """True device barrier: fetch one element of the result.  On the
+    remote-attached TPU path ``block_until_ready`` can return before the
+    execution ran; a device->host value read always waits."""
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
+
+
 def benchmark(fn: Callable, *args, warmup: int = 3, iters: int = 10):
     """Mean ms over ``iters`` runs after ``warmup`` runs (ref protocol,
     ``utils/util.py:391-400``).  Returns (last_result, mean_ms)."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return out, (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -83,25 +92,32 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
     #     is not clearly resolved we double ``iters`` and retry.
     rest = args[1:]
     # seeds must be globally unique: the remote execution path caches
-    # results keyed on (program, input values) ACROSS processes.
+    # results keyed on (program, input values) ACROSS processes.  They must
+    # also be LARGE enough that ``first + seed`` differs bitwise from
+    # ``first`` (a ~1e-12 seed added to O(1) data rounds away, making every
+    # timed execution value-identical and therefore dedupe-able).
     import random as _random
 
     def fresh():
-        return jnp.full((), _random.random() * 1e-12)
+        return jnp.full((), 0.05 + _random.random() * 0.1)
+
+    def timed(j, seed):
+        # Synchronise by FETCHING the scalar result: on the remote-attached
+        # TPU path ``block_until_ready`` can return before the execution
+        # actually ran; only a device->host value read is a true barrier.
+        t0 = time.perf_counter()
+        np.asarray(j(seed, first, *rest))
+        return time.perf_counter() - t0
 
     def best(j, repeats=3):
-        ts = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            j(fresh(), first, *rest).block_until_ready()
-            ts.append(time.perf_counter() - t0)
+        ts = [timed(j, fresh()) for _ in range(repeats)]
         return min(ts), max(ts) - min(ts)
 
     n_lo = 2
     for _attempt in range(4):
         lo, hi = make(n_lo), make(n_lo + iters)
-        lo(fresh(), first, *rest).block_until_ready()
-        hi(fresh(), first, *rest).block_until_ready()
+        timed(lo, fresh())  # warm compile
+        timed(hi, fresh())
         t_lo, spread_lo = best(lo)
         t_hi, spread_hi = best(hi)
         diff = t_hi - t_lo

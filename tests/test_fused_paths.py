@@ -35,10 +35,12 @@ def test_bucket_matches_oracle(rng, score):
 
 def test_bucket_super_node_tiling(rng):
     """Super-node row wider than tile_width exercises the online-softmax
-    streaming path (reference tiling strategy analog)."""
+    streaming path (reference tiling strategy analog, ``split_width=None``
+    layout)."""
     n, h, f = 600, 1, 8
     g = make_graph(rng, n, 3, super_node_deg=500)
-    bg = build_buckets(g)
+    bg = build_buckets(g, split_width=None)
+    assert bg.segments is None
     assert max(b.width for b in bg.buckets) >= 512
     q, k, v = _qkv(rng, n, h, f)
     want = graph_attention_reference(g, q, k, v)
@@ -46,6 +48,32 @@ def test_bucket_super_node_tiling(rng):
 
     got = bucket_graph_attention(bg, q, k, v, tile_width=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("score", ["dot", "add"])
+def test_bucket_segment_split(rng, score):
+    """Default layout splits super-wide rows into fixed-width segments
+    merged by the associative online-softmax combine; must match the oracle
+    exactly (and autodiff through the merge)."""
+    import jax
+
+    n, h, f = 600, 2, 8
+    g = make_graph(rng, n, 3, super_node_deg=500, with_val=(score == "dot"))
+    bg = build_buckets(g, split_width=64)
+    assert bg.segments is not None and bg.segments.n_segments >= 8
+    q, k, v = _qkv(rng, n, h, f)
+    e_row = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    e_col = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    kw = dict(score=score, e_row=e_row, e_col=e_col)
+    want = graph_attention_reference(g, q, k, v, **kw)
+    got = graph_attention(bg, q, k, v, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5)
+
+    if score == "dot":
+        t = jnp.asarray(rng.standard_normal(want.shape).astype(np.float32))
+        g_ref = jax.grad(lambda v: jnp.sum(graph_attention_reference(g, q, k, v) * t))(v)
+        g_seg = jax.grad(lambda v: jnp.sum(graph_attention(bg, q, k, v) * t))(v)
+        np.testing.assert_allclose(np.asarray(g_seg), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
 
 
 @pytest.mark.parametrize("score", ["dot", "add"])

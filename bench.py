@@ -61,6 +61,25 @@ def main():
     )
     oracle_eps = g.n_edges / (oracle_ms / 1e3)
 
+    # Second headline config (BASELINE.md): fused conv on a reddit-like
+    # full graph (power-law, super-node rows) via the bucket/segment path.
+    from dfgnn_tpu.data.datasets import load_full_graph
+    from dfgnn_tpu.ops.bucket import bucket_graph_attention
+    from dfgnn_tpu import formats
+
+    ds = load_full_graph("reddit", "data", scale=0.25)
+    gf = Graph.from_coo(ds.rows, ds.cols, ds.n_nodes)
+    bgf = formats.preprocess("bucketed", gf).device_put()
+    qf, kf, vf = (
+        jnp.asarray(rng.standard_normal((gf.n_nodes, HEADS, DIM)).astype(np.float32))
+        for _ in range(3)
+    )
+    full_ms = benchmark_chained(
+        lambda qf, kf, vf, bgf: bucket_graph_attention(bgf, qf, kf, vf),
+        qf, kf, vf, bgf, iters=10,
+    )
+    full_eps = gf.n_edges / (full_ms / 1e3)
+
     print(
         json.dumps(
             {
@@ -75,6 +94,9 @@ def main():
                     "oracle_ms_per_subbatch": round(oracle_ms, 3),
                     "oracle_edges_per_s": round(oracle_eps),
                     "n_edges": batch.n_edges,
+                    "full_graph_reddit_quarter_edges_per_s": round(full_eps),
+                    "full_graph_ms": round(full_ms, 3),
+                    "full_graph_n_edges": gf.n_edges,
                     "backend": jax.default_backend(),
                 },
             }

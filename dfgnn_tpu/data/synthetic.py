@@ -72,6 +72,26 @@ def small_graph_batch(rng, n_graphs: int, mean_nodes: int = 70, deg: int = 8,
     return out
 
 
+def community_graph(rng, n: int, n_communities: int, avg_deg: float = 10.0,
+                    intra_frac: float = 0.9):
+    """Locality-structured full graph: nodes are grouped into contiguous
+    communities and each edge lands inside its source's community with
+    probability ``intra_frac`` (reddit-like community structure; the halo
+    of a contiguous partition is then O(inter-community edges), which is
+    what the ``HaloExchange`` path exploits).  Returns (rows, cols)."""
+    deg = np.maximum(rng.poisson(avg_deg, size=n), 1)
+    rows = np.repeat(np.arange(n), deg)
+    E = int(deg.sum())
+    csize = -(-n // n_communities)
+    com_lo = (rows // csize) * csize
+    com_hi = np.minimum(com_lo + csize, n)
+    intra = rng.random(E) < intra_frac
+    local = com_lo + rng.integers(0, csize, size=E) % (com_hi - com_lo)
+    remote = rng.integers(0, n, size=E)
+    cols = np.where(intra, local, remote)
+    return rows, cols
+
+
 def power_law_graph(rng, n: int, avg_deg: float = 10.0, alpha: float = 1.8,
                     max_deg_frac: float = 0.1):
     """Full graph with power-law in-row degrees — the reddit/super-node

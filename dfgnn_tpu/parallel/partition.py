@@ -53,15 +53,19 @@ class EdgePartitionedGraph:
 
 @struct.dataclass
 class HaloExchange:
-    """Boundary-node gather plan: which remote rows each device needs.
+    """Boundary-node exchange plan (comm O(halo), not O(n_nodes)).
 
-    ``recv_ids``: ``[n_devices, max_halo]`` global source ids this device
-    reads (padded with ``n_nodes``); remote features are fetched by
-    all-gather then gathered down to this set.  Reserved for the
-    halo-compressed exchange path (v2); the default path all-gathers.
+    Each device d needs, from each peer e, the rows ``need[d][e]`` that d's
+    local edges reference; equivalently each device e must SEND
+    ``send[e][d] = need[d][e]`` to d.  ``send_local`` stores those as
+    e-LOCAL row indices, stacked on a leading device axis and harmonized to
+    a shared ``max_halo`` so the exchange is one static-shape
+    ``all_to_all`` over the mesh axis (ICI).  When a partition carries a
+    halo plan, its bucket ``nbr`` ids are REMAPPED into the local source
+    table ``[x_local ++ recv(n_devices*max_halo) ++ zero-row]``.
     """
 
-    recv_ids: jax.Array
+    send_local: jax.Array  # [n_devices(me), n_devices(dst), max_halo] int32
     max_halo: int = struct.field(pytree_node=False, default=0)
 
 
@@ -73,9 +77,17 @@ def partition_graph(
     widths=None,
     mesh: Optional[Mesh] = None,
     axis: str = "data",
+    halo: bool = False,
 ) -> EdgePartitionedGraph:
     """Host-side: split rows into ``n_devices`` contiguous blocks and build
-    shape-harmonized per-device buckets."""
+    shape-harmonized per-device buckets.
+
+    ``halo=True`` builds a :class:`HaloExchange` plan: neighbor ids are
+    remapped into per-device source tables and only boundary rows are
+    exchanged (one ``all_to_all``), so per-step comm is O(halo) instead of
+    the default all-gather's O(n_nodes).  Wins when the partition has
+    locality (clustered/community graphs); on locality-free random graphs
+    the halo approaches all-of-peer and the default is equivalent."""
     n = g.n_nodes
     n_local = _round_up(n, n_devices) // n_devices
     indptr = np.asarray(g.indptr, dtype=np.int64)
@@ -105,6 +117,47 @@ def partition_graph(
         vs = None if val is None else val[indptr[lo_r] : indptr[hi_r]]
         per_dev.append((ip, cs, vs))
 
+    halo_plan = None
+    n_cols_space = n
+    if halo and n_devices > 1:
+        # need[d][e]: global source ids owned by peer e that device d's
+        # edges reference; send[e][d] = need[d][e] as e-local indices.
+        need = [[None] * n_devices for _ in range(n_devices)]
+        mx = 0
+        for d in range(n_devices):
+            _, cs, _ = per_dev[d]
+            owners = cs // n_local
+            for e in range(n_devices):
+                if e == d:
+                    continue
+                ids = np.unique(cs[owners == e])
+                need[d][e] = ids
+                mx = max(mx, ids.size)
+        H = max(8, _round_up(mx, 8))
+        send_local = np.zeros((n_devices, n_devices, H), np.int32)
+        for e in range(n_devices):
+            for d in range(n_devices):
+                if e == d:
+                    continue
+                ids = need[d][e]
+                send_local[e, d, : ids.size] = (ids - e * n_local).astype(np.int32)
+        table_rows = n_local + n_devices * H
+        # remap each device's neighbor ids into its local source table
+        for d in range(n_devices):
+            ip, cs, vs = per_dev[d]
+            M = np.empty(n, np.int32)
+            lo_r = d * n_local
+            hi_r = min(lo_r + n_local, n)
+            M[lo_r:hi_r] = np.arange(hi_r - lo_r, dtype=np.int32)
+            for e in range(n_devices):
+                if e == d:
+                    continue
+                ids = need[d][e]
+                M[ids] = n_local + e * H + np.arange(ids.size, dtype=np.int32)
+            per_dev[d] = (ip, M[cs], vs)
+        n_cols_space = table_rows  # sentinel -> appended zero row (clip)
+        halo_plan = HaloExchange(send_local=send_local, max_halo=H)
+
     row_pad_to = {}
     for w_i, w in enumerate(widths):
         lo = 0 if w_i == 0 else widths[w_i - 1]
@@ -121,7 +174,7 @@ def partition_graph(
         bks = bucket_rows_numpy(
             ip, cs, vs,
             n_rows_space=n_local,
-            n_cols_space=n,
+            n_cols_space=n_cols_space,
             widths=widths,
             row_pad_to=row_pad_to,
         )
@@ -151,6 +204,7 @@ def partition_graph(
         n_edges=g.n_edges,
         mesh=mesh,
         axis=axis,
+        halo=halo_plan,
     )
 
 
@@ -195,35 +249,55 @@ def dist_graph_attention(
         operands = (e_row, e_col, v)
     specs = tuple(node_spec for _ in operands)
 
-    def body(buckets, *ops):
+    halo = pg.halo
+
+    def body(buckets, send_local, *ops):
         # strip the leading device axis from this shard's bucket slice
         local_buckets = jax.tree.map(lambda x: x[0], buckets)
         bg = BucketedGraph(
             buckets=local_buckets, n_nodes=pg.n_local, n_edges=pg.n_edges
         )
-        # sources are remote: gather over ICI (graph analog of KV all-gather)
+
+        if halo is not None:
+            sl = send_local[0]  # [n_devices, max_halo] local row indices
+            nd, H = pg.n_devices, halo.max_halo
+
+            def exchange(x_l):
+                """Boundary rows only: one all_to_all over ICI; result is
+                this device's source table [local ++ halo ++ zero-row]."""
+                rows = jnp.take(x_l, sl, axis=0, mode="clip")  # [nd, H, ...]
+                recv = jax.lax.all_to_all(
+                    rows, axis, split_axis=0, concat_axis=0, tiled=True
+                )
+                zero = jnp.zeros((1,) + x_l.shape[1:], x_l.dtype)
+                return jnp.concatenate(
+                    [x_l, recv.reshape((nd * H,) + x_l.shape[1:]), zero], axis=0
+                )
+        else:
+            # graph analog of KV all-gather: replicate all sources
+            def exchange(x_l):
+                return jax.lax.all_gather(x_l, axis, tiled=True)
+
         if score == "dot":
             q_l, k_l, v_l = ops
-            k_g = jax.lax.all_gather(k_l, axis, tiled=True)
-            v_g = jax.lax.all_gather(v_l, axis, tiled=True)
             return bucket_graph_attention(
-                bg, q_l, k_g, v_g, score="dot", negative_slope=negative_slope
+                bg, q_l, exchange(k_l), exchange(v_l),
+                score="dot", negative_slope=negative_slope,
             )
         er_l, ec_l, v_l = ops
-        ec_g = jax.lax.all_gather(ec_l, axis, tiled=True)
-        v_g = jax.lax.all_gather(v_l, axis, tiled=True)
         return bucket_graph_attention(
-            bg, None, None, v_g,
-            score="add", e_row=er_l, e_col=ec_g,
+            bg, None, None, exchange(v_l),
+            score="add", e_row=er_l, e_col=exchange(ec_l),
             negative_slope=negative_slope,
         )
 
+    send_arg = halo.send_local if halo is not None else jnp.zeros((pg.n_devices, 1), jnp.int32)
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(bucket_spec,) + specs,
+        in_specs=(bucket_spec, P(axis)) + specs,
         out_specs=node_spec,
         check_vma=False,
     )
-    out = fn(pg.buckets, *operands)
+    out = fn(pg.buckets, jnp.asarray(send_arg), *operands)
     return out[: pg.n_nodes]

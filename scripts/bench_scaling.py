@@ -50,7 +50,8 @@ def main(argv=None):
     base_eps = None
     for nd in sizes:
         mesh = make_mesh(nd)
-        pg = partition_graph(g, nd, mesh=mesh)
+        pg = partition_graph(g, nd, mesh=mesh,
+                             halo=bool(os.environ.get("DFGNN_HALO")) and nd > 1)
         n_pad = pg.n_local * pg.n_devices
         q, k, v = (
             jnp.asarray(rng.standard_normal((n_pad, h, f)).astype(np.float32))

@@ -88,6 +88,10 @@ class BucketedGraph:
     graph_id: Optional[jax.Array] = None
     n_graphs: int = struct.field(pytree_node=False, default=1)
     segments: Optional[SegmentBucket] = None
+    # Transposed layout (rows = sources): enables the fused custom backward
+    # (the role of the reference's CSC + val_idx arrays,
+    # ``DFGNN/layers/util.py:116-142``).
+    transpose: Optional["BucketedGraph"] = None
 
     def device_put(self, sharding=None) -> "BucketedGraph":
         from dfgnn_tpu.graph import device_put
@@ -258,6 +262,7 @@ def build_buckets(
     edge_chunk: int = _EDGE_CHUNK,
     widths: Optional[Sequence[int]] = None,
     split_width: Optional[int] = 256,
+    with_transpose: bool = False,
 ) -> BucketedGraph:
     """Host-side: split rows into degree buckets (padded neighbor lists) and
     lay super-wide rows (degree > ``split_width``) out as fixed-width edge
@@ -271,6 +276,11 @@ def build_buckets(
     buckets).  ``split_width=None`` disables splitting (the pure-bucket
     layout; super-wide buckets then stream via the online-softmax tiled
     path).
+
+    ``with_transpose=True`` additionally builds the transposed layout
+    (training preprocessing, analog of ``preprocess_Hyper_fw_bw``'s CSC
+    arrays, ``DFGNN/layers/util.py:116-142``) so gradients take the fused
+    custom backward instead of XLA's scatter-add transpose.
     """
     n = g.n_nodes
     indptr = np.asarray(g.indptr, dtype=np.int64)
@@ -300,6 +310,17 @@ def build_buckets(
         edge_chunk=edge_chunk,
         widths=widths,
     )
+    transpose = None
+    if with_transpose:
+        e = g.n_edges
+        rows_np = np.asarray(g.rows)[:e]
+        cols_np = np.asarray(g.cols)[:e]
+        val_np = None if g.val is None else np.asarray(g.val)[:e]
+        gT = Graph.from_coo(cols_np, rows_np, n, val=val_np)
+        transpose = build_buckets(
+            gT, min_width=min_width, edge_chunk=edge_chunk,
+            split_width=split_width, with_transpose=False,
+        )
     return BucketedGraph(
         buckets=tuple(buckets),
         n_nodes=n,
@@ -307,6 +328,7 @@ def build_buckets(
         graph_id=g.graph_id,
         n_graphs=g.n_graphs,
         segments=segments,
+        transpose=transpose,
     )
 
 
@@ -320,4 +342,8 @@ def preprocess(fmt: str, g: Graph, **kw):
         return g
     if fmt in ("bucketed", "tiling", "csr_gm", "softmax_gm"):
         return build_buckets(g, **kw)
+    if fmt in ("bucketed_train", "hyper_fw_bw"):
+        # training layout with transpose (ref: preprocess_Hyper_fw_bw,
+        # DFGNN/layers/util.py:116-142)
+        return build_buckets(g, with_transpose=True, **kw)
     raise KeyError(f"unknown format {fmt!r}")

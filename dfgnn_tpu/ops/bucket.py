@@ -22,19 +22,34 @@ algebra as the reference's tiling kernel (``fused_gtconv_tiling.cu:72-86``);
 the in-chunk ``_tiled_chunk`` scan remains for ``split_width=None``
 layouts.
 
+Training backward: when the layout carries a transpose
+(``build_buckets(with_transpose=True)``), a ``custom_vjp`` mirrors the
+reference's fused backward (``fused_gtconv_backward.cu:231-265``): the
+CSR-direction pass recomputes scores from the saved per-row logsumexp and
+produces dQ (``fused_backward_kernel`` :74-191), and a CSC-direction pass
+over the transposed layout produces dK/dV (``spmm_backward_kernel``
+:41-70) — both are gather-based row reductions, never scatter-adds.  The
+O(N·h) lse residual replaces the reference's O(E·h) ``attn_edge`` stash.
+Without a transpose, XLA autodiff applies (gather transposes to
+scatter-add; ~3x slower at scale).
+
 Everything is XLA (jnp + scan/map): autodiff works end-to-end.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import dtypes as jax_dtypes
 
-from dfgnn_tpu.formats import Bucket, BucketedGraph
+from dfgnn_tpu.formats import Bucket, BucketedGraph, SegmentBucket
 
 _NEG_BIG = -1e30
+_DEAD = 0.5 * _NEG_BIG  # rows with lse below this have no edges
 
 # Target bytes for one chunk's gathered source tensor.  Measured on TPU
 # v5e (quarter-reddit, dim 128): VMEM-scale chunks (8-16MB) let XLA fuse
@@ -64,26 +79,73 @@ def _take_src(src, flat, C, W):
     return out.astype(jnp.float32)
 
 
+def _take_rows(x, row_ids):
+    return None if x is None else jnp.take(x, row_ids, axis=0, mode="clip")
+
+
 def _split_src(src_n, score, f):
     if score == "dot":
         return src_n[..., :f], src_n[..., f:], None       # k_n, v_n
     return None, src_n[..., :f], src_n[..., f]            # v_n, ec_n [C,W,h]
 
 
+def _pick_chunk(r_pad: int, W: int, h: int, fs: int, itemsize: int) -> int:
+    """Rows per chunk so one chunk's gathered tensor meets the byte budget
+    (VMEM-scale; see module docstring)."""
+    desired = max(8, _GATHER_BUDGET_BYTES // max(W * h * fs * itemsize, 1))
+    return min(r_pad, desired)
+
+
+def _chunk_args(arrays, r_pad: int, chunk: int, fills):
+    """Pad row-dim arrays to a multiple of ``chunk`` and reshape to
+    [n_chunks, chunk, ...].  Returns (chunked_tuple, n_chunks, r_pad2)."""
+    n_chunks = -(-r_pad // chunk)
+    r_pad2 = n_chunks * chunk
+    pad_n = r_pad2 - r_pad
+
+    def pad(x, fill):
+        if x is None:
+            return None
+        if pad_n:
+            cfg = [(0, pad_n)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, cfg, constant_values=fill)
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    return tuple(pad(x, f) for x, f in zip(arrays, fills)), n_chunks, r_pad2
+
+
+def _map_chunks(fn, chunked, n_chunks):
+    """lax.map over chunks; single chunk runs unrolled.  ``fn`` returns a
+    tuple; result arrays get the leading chunk dims flattened."""
+    if n_chunks == 1:
+        res = fn(tuple(None if x is None else x[0] for x in chunked))
+        res = tuple(r[None] for r in res)
+    else:
+        res = jax.lax.map(fn, chunked)
+    return tuple(r.reshape((-1,) + r.shape[2:]) for r in res)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
 def _direct_chunk(args, q, e_row, src, f, score, negative_slope):
-    """One row-chunk, neighborhood fully materialised (width <= tile)."""
+    """One row-chunk, neighborhood fully materialised (width <= tile).
+    Returns (out [C,h,f], lse [C,h])."""
     row_ids, nbr, emask, val = args
     C, W = nbr.shape
     src_n = _take_src(src, nbr.reshape(-1), C, W)
     k_n, v_n, ec_n = _split_src(src_n, score, f)
-    q_c = None if q is None else jnp.take(q, row_ids, axis=0, mode="clip")
-    er_c = None if e_row is None else jnp.take(e_row, row_ids, axis=0, mode="clip")
+    q_c = _take_rows(q, row_ids)
+    er_c = _take_rows(e_row, row_ids)
     s = _scores_from_parts(q_c, k_n, er_c, ec_n, emask, val, score, negative_slope)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    ex = jnp.where(emask[:, None, :], jnp.exp(s - jnp.maximum(m, _NEG_BIG)), 0.0)
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), _NEG_BIG)
+    ex = jnp.where(emask[:, None, :], jnp.exp(s - m), 0.0)
     den = jnp.sum(ex, axis=-1, keepdims=True)
     w = jnp.where(den > 0, ex / jnp.where(den > 0, den, 1.0), 0.0)
-    return jnp.einsum("chw,cwhf->chf", w, v_n)
+    out = jnp.einsum("chw,cwhf->chf", w, v_n)
+    lse = jnp.where(den > 0, m + jnp.log(jnp.where(den > 0, den, 1.0)), _NEG_BIG)
+    return out, lse[..., 0]
 
 
 def _tiled_chunk(args, q, e_row, src, f, score, negative_slope, tile_width):
@@ -94,8 +156,8 @@ def _tiled_chunk(args, q, e_row, src, f, score, negative_slope, tile_width):
     C, W = nbr.shape
     h = src.shape[1]
     n_tiles = W // tile_width
-    q_c = None if q is None else jnp.take(q, row_ids, axis=0, mode="clip")
-    er_c = None if e_row is None else jnp.take(e_row, row_ids, axis=0, mode="clip")
+    q_c = _take_rows(q, row_ids)
+    er_c = _take_rows(e_row, row_ids)
 
     def body(carry, t):
         m, l, acc = carry
@@ -119,7 +181,9 @@ def _tiled_chunk(args, q, e_row, src, f, score, negative_slope, tile_width):
         jnp.zeros((C, h, f), dtype=jnp.float32),
     )
     (m, l, acc), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
-    return jnp.where(l > 0, acc / jnp.where(l > 0, l, 1.0), 0.0)
+    out = jnp.where(l > 0, acc / jnp.where(l > 0, l, 1.0), 0.0)
+    lse = jnp.where(l > 0, m + jnp.log(jnp.where(l > 0, l, 1.0)), _NEG_BIG)
+    return out, lse[..., 0]
 
 
 def _segment_partials(args, q, e_row, src, f, score, negative_slope):
@@ -130,8 +194,8 @@ def _segment_partials(args, q, e_row, src, f, score, negative_slope):
     C, W = nbr.shape
     src_n = _take_src(src, nbr.reshape(-1), C, W)
     k_n, v_n, ec_n = _split_src(src_n, score, f)
-    q_c = None if q is None else jnp.take(q, seg_dst, axis=0, mode="clip")
-    er_c = None if e_row is None else jnp.take(e_row, seg_dst, axis=0, mode="clip")
+    q_c = _take_rows(q, seg_dst)
+    er_c = _take_rows(e_row, seg_dst)
     s = _scores_from_parts(q_c, k_n, er_c, ec_n, emask, val, score, negative_slope)
     m = jnp.max(s, axis=-1)                                   # [C, h]
     ex = jnp.where(emask[:, None, :], jnp.exp(s - m[..., None]), 0.0)
@@ -140,51 +204,288 @@ def _segment_partials(args, q, e_row, src, f, score, negative_slope):
     return m, l, acc
 
 
-def _segments_attention(sb, q, e_row, src, f, score, negative_slope, out):
-    """Compute super-wide rows from their segments and merge per row with
-    the associative online-softmax combine (exact softmax)."""
-    h = src.shape[1]
+def _run_bucket(b: Bucket, chunk_fn, src_itemsize, h, fs, fills=None):
+    """Chunk one bucket's row arrays and map ``chunk_fn`` over them.
+    Returns (row_ids_padded, results tuple flattened over rows)."""
+    r_pad, W = b.nbr.shape
+    chunk = _pick_chunk(r_pad, W, h, fs, src_itemsize)
+    arrays = (b.row_ids, b.nbr, b.emask, b.val)
+    if fills is None:
+        fills = (None, None, False, 0.0)
+    chunked, n_chunks, r_pad2 = _chunk_args(arrays, r_pad, chunk, fills)
+    res = _map_chunks(chunk_fn, chunked, n_chunks)
+    row_ids = chunked[0].reshape(-1)
+    return row_ids, res
+
+
+def _run_segments(sb: SegmentBucket, chunk_fn, src_itemsize, h, fs):
+    """Map ``chunk_fn`` over segment chunks; returns per-segment results."""
     s_pad, W = sb.nbr.shape
-    chunk = _pick_chunk(s_pad, W, h, src.shape[-1], src.dtype.itemsize)
+    chunk = _pick_chunk(s_pad, W, h, fs, src_itemsize)
     chunk = min(chunk, s_pad)
     if s_pad % chunk != 0:
         chunk = sb.row_chunk
     n_chunks = s_pad // chunk
-    args = (
-        sb.seg_dst.reshape(n_chunks, chunk),
-        sb.nbr.reshape(n_chunks, chunk, W),
-        sb.emask.reshape(n_chunks, chunk, W),
-        None if sb.val is None else sb.val.reshape(n_chunks, chunk, W),
+    args = tuple(
+        None if x is None else x.reshape((n_chunks, chunk) + x.shape[1:])
+        for x in (sb.seg_dst, sb.nbr, sb.emask, sb.val)
     )
-    fn = lambda a: _segment_partials(a, q, e_row, src, f, score, negative_slope)
-    if n_chunks == 1:
-        parts = jax.tree.map(lambda x: x[None], fn(tuple(
-            None if x is None else x[0] for x in args)))
+    return _map_chunks(chunk_fn, args, n_chunks)
+
+
+def _segsum(x, seg_id, bins):
+    return jax.ops.segment_sum(x, seg_id, num_segments=bins,
+                               indices_are_sorted=True)
+
+
+def _pack_src(k, v, e_col, score, gather_dtype):
+    if score == "dot":
+        src = jnp.concatenate([k, v], axis=-1)                 # [N, h, 2f]
+    elif score == "add":
+        src = jnp.concatenate([v, e_col[..., None]], axis=-1)  # [N, h, f+1]
     else:
-        parts = jax.lax.map(fn, args)
-    m_s, l_s, acc_s = (x.reshape((s_pad,) + x.shape[2:]) for x in parts)
-
-    R = int(sb.wide_rows.shape[0])
-    bins = R + 1  # last bin absorbs segment padding
-    m_r = jax.ops.segment_max(m_s, sb.seg_id, num_segments=bins,
-                              indices_are_sorted=True)
-    m_r = jnp.maximum(m_r, _NEG_BIG)  # empty bins: -inf -> finite
-    scale = jnp.exp(m_s - m_r[sb.seg_id])
-    l_r = jax.ops.segment_sum(l_s * scale, sb.seg_id, num_segments=bins,
-                              indices_are_sorted=True)
-    acc_r = jax.ops.segment_sum(acc_s * scale[..., None], sb.seg_id,
-                                num_segments=bins, indices_are_sorted=True)
-    out_r = jnp.where(l_r[..., None] > 0,
-                      acc_r / jnp.where(l_r[..., None] > 0, l_r[..., None], 1.0),
-                      0.0)[:R]
-    return out.at[sb.wide_rows].set(out_r.astype(out.dtype), mode="drop")
+        raise ValueError(f"unknown score mode {score!r}")
+    if gather_dtype is not None:
+        src = src.astype(gather_dtype)
+    return src
 
 
-def _pick_chunk(r_pad: int, W: int, h: int, fs: int, itemsize: int) -> int:
-    """Rows per chunk so one chunk's gathered tensor meets the byte budget
-    (few large gathers amortise XLA's per-gather fixed cost)."""
-    desired = max(8, _GATHER_BUDGET_BYTES // max(W * h * fs * itemsize, 1))
-    return min(r_pad, desired)
+def _forward(bg, q, k, v, score, e_row, e_col, negative_slope, tile_width,
+             gather_dtype):
+    """Fused forward; returns (out [n,h,f], lse [n,h])."""
+    h, f = v.shape[1], v.shape[2]
+    src = _pack_src(k, v, e_col, score, gather_dtype)
+    fs = src.shape[-1]
+
+    out = jnp.zeros((bg.n_nodes + 1, h, f), dtype=v.dtype)
+    lse = jnp.full((bg.n_nodes + 1, h), _NEG_BIG, dtype=jnp.float32)
+    for b in bg.buckets:
+        W = b.nbr.shape[1]
+        if W <= tile_width:
+            fn = lambda a: _direct_chunk(a, q, e_row, src, f, score, negative_slope)
+        else:
+            tw = tile_width if W % tile_width == 0 else W
+            fn = lambda a: _tiled_chunk(a, q, e_row, src, f, score, negative_slope, tw)
+        row_ids, (out_b, lse_b) = _run_bucket(
+            b, fn, src.dtype.itemsize, h, fs,
+            fills=(bg.n_nodes, bg.n_nodes, False, 0.0),
+        )
+        out = out.at[row_ids].set(out_b.astype(out.dtype), mode="drop")
+        lse = lse.at[row_ids].set(lse_b, mode="drop")
+
+    sb = bg.segments
+    if sb is not None:
+        fn = lambda a: _segment_partials(a, q, e_row, src, f, score, negative_slope)
+        m_s, l_s, acc_s = _run_segments(sb, fn, src.dtype.itemsize, h, fs)
+        R = int(sb.wide_rows.shape[0])
+        bins = R + 1  # last bin absorbs segment padding
+        m_r = jax.ops.segment_max(m_s, sb.seg_id, num_segments=bins,
+                                  indices_are_sorted=True)
+        m_r = jnp.maximum(m_r, _NEG_BIG)  # empty bins: -inf -> finite
+        scale = jnp.exp(m_s - m_r[sb.seg_id])
+        l_r = _segsum(l_s * scale, sb.seg_id, bins)
+        acc_r = _segsum(acc_s * scale[..., None], sb.seg_id, bins)
+        live = l_r[..., None] > 0
+        out_r = jnp.where(live, acc_r / jnp.where(live, l_r[..., None], 1.0), 0.0)
+        lse_r = jnp.where(l_r > 0, m_r + jnp.log(jnp.where(l_r > 0, l_r, 1.0)),
+                          _NEG_BIG)
+        out = out.at[sb.wide_rows].set(out_r[:R].astype(out.dtype), mode="drop")
+        lse = lse.at[sb.wide_rows].set(lse_r[:R], mode="drop")
+    return out[: bg.n_nodes], lse[: bg.n_nodes]
+
+
+# ---------------------------------------------------------------------------
+# Custom backward (reference design, fused_gtconv_backward.cu:231-265):
+# CSR direction recomputes scores from lse and reduces dQ per row; CSC
+# direction (transposed layout) reduces dK/dV per source.  Both are
+# gather-based — no scatter-adds.
+# ---------------------------------------------------------------------------
+
+def _p_from_scores(s, emask, lse_c):
+    """Normalised attention from recomputed scores + saved logsumexp."""
+    live = lse_c > _DEAD
+    return jnp.where(
+        emask[:, None, :] & live[..., None],
+        jnp.exp(s - jnp.where(live, lse_c, 0.0)[..., None]),
+        0.0,
+    )
+
+
+def _bwd_csr_chunk(args, a_row, do, lse, delta, src, f, score, negative_slope):
+    """CSR-direction backward chunk: dQ (dot) or d e_row (add).
+
+    Analog of the reference's ``fused_backward_kernel``
+    (``fused_gtconv_backward.cu:74-191``): recompute SDDMM, apply the
+    softmax gradient dS = P*(dP - delta), reduce against K per row."""
+    row_ids, nbr, emask, val = args
+    C, W = nbr.shape
+    src_n = _take_src(src, nbr.reshape(-1), C, W)
+    k_n, v_n, ec_n = _split_src(src_n, score, f)
+    do_c = _take_rows(do, row_ids)
+    lse_c = _take_rows(lse, row_ids)
+    delta_c = _take_rows(delta, row_ids)
+    a_c = _take_rows(a_row, row_ids)
+    if score == "dot":
+        s = jnp.einsum("chf,cwhf->chw", a_c, k_n)
+        pre = None
+    else:
+        pre = a_c[:, :, None] + ec_n.transpose(0, 2, 1)
+        s = jax.nn.leaky_relu(pre, negative_slope=negative_slope)
+    if val is not None:
+        s = s * val[:, None, :]
+    s = jnp.where(emask[:, None, :], s, _NEG_BIG)
+    p = _p_from_scores(s, emask, lse_c)
+    dp = jnp.einsum("chf,cwhf->chw", do_c, v_n)
+    ds = p * (dp - delta_c[..., None])
+    if val is not None:
+        ds = ds * val[:, None, :]
+    if score == "dot":
+        return (jnp.einsum("chw,cwhf->chf", ds, k_n),)
+    dpre = jnp.where(pre >= 0, ds, ds * negative_slope)
+    return (jnp.sum(dpre, axis=2),)        # d e_row [C, h]
+
+
+def _bwd_csc_chunk(args, b_col, v_full, srcT, f, score, negative_slope):
+    """CSC-direction backward chunk over the TRANSPOSED layout: rows are
+    sources j; produces (dK_j, dV_j) for dot or (d e_col_j, dV_j) for add.
+
+    Analog of the reference's ``spmm_backward_kernel``
+    (``fused_gtconv_backward.cu:41-70``) but gather-based: the transposed
+    buckets replace the CSC + edge-permutation arrays."""
+    row_ids, nbr, emask, val = args
+    C, W = nbr.shape
+    src_n = _take_src(srcT, nbr.reshape(-1), C, W)
+    if score == "dot":
+        q_n = src_n[..., :f]
+        do_n = src_n[..., f:2 * f]
+        lse_n = src_n[..., 2 * f].transpose(0, 2, 1)     # [C, h, W]
+        delta_n = src_n[..., 2 * f + 1].transpose(0, 2, 1)
+        k_j = _take_rows(b_col, row_ids)                 # [C, h, f]
+        s = jnp.einsum("chf,cwhf->chw", k_j, q_n)
+        pre = None
+    else:
+        do_n = src_n[..., :f]
+        er_n = src_n[..., f].transpose(0, 2, 1)          # [C, h, W]
+        lse_n = src_n[..., f + 1].transpose(0, 2, 1)
+        delta_n = src_n[..., f + 2].transpose(0, 2, 1)
+        ec_j = _take_rows(b_col, row_ids)                # [C, h]
+        pre = er_n + ec_j[:, :, None]
+        s = jax.nn.leaky_relu(pre, negative_slope=negative_slope)
+    if val is not None:
+        s = s * val[:, None, :]
+    s = jnp.where(emask[:, None, :], s, _NEG_BIG)
+    live = lse_n > _DEAD
+    p = jnp.where(emask[:, None, :] & live,
+                  jnp.exp(s - jnp.where(live, lse_n, 0.0)), 0.0)
+    v_j = _take_rows(v_full, row_ids)                    # [C, h, f]
+    dp = jnp.einsum("chf,cwhf->chw", v_j, do_n)
+    ds = p * (dp - delta_n)
+    if val is not None:
+        ds = ds * val[:, None, :]
+    dv_j = jnp.einsum("chw,cwhf->chf", p, do_n)
+    if score == "dot":
+        dk_j = jnp.einsum("chw,cwhf->chf", ds, q_n)
+        return dk_j, dv_j
+    dpre = jnp.where(pre >= 0, ds, ds * negative_slope)
+    return jnp.sum(dpre, axis=2), dv_j                   # d e_col [C, h]
+
+
+def _walk_backward(bg, chunk_fn, out_shapes, h, fs, itemsize):
+    """Run ``chunk_fn`` over all buckets + segments of a layout; scatter the
+    per-row results into zero-initialised outputs [n_nodes+1, ...].
+    Backward quantities are plain sums over a row's edges, so segment
+    results combine with segment_sum (no online merge needed)."""
+    outs = [jnp.zeros((bg.n_nodes + 1,) + s, jnp.float32) for s in out_shapes]
+    for b in bg.buckets:
+        row_ids, res = _run_bucket(
+            b, chunk_fn, itemsize, h, fs,
+            fills=(bg.n_nodes, bg.n_nodes, False, 0.0),
+        )
+        outs = [o.at[row_ids].set(r, mode="drop") for o, r in zip(outs, res)]
+    sb = bg.segments
+    if sb is not None:
+        seg_args_fn = lambda a: chunk_fn(a)
+        res = _run_segments(sb, seg_args_fn, itemsize, h, fs)
+        R = int(sb.wide_rows.shape[0])
+        bins = R + 1
+        merged = [_segsum(r, sb.seg_id, bins)[:R] for r in res]
+        outs = [o.at[sb.wide_rows].set(m, mode="drop")
+                for o, m in zip(outs, merged)]
+    return [o[: bg.n_nodes] for o in outs]
+
+
+def _float0_like(x):
+    return np.zeros(x.shape, dtype=jax_dtypes.float0)
+
+
+def _zero_tangents(tree):
+    """Cotangents for the (non-differentiated) layout pytree: float0 for
+    integer/bool leaves, zeros for float leaves (edge values are treated as
+    constants on this path, matching the reference's fixed ``A.val``)."""
+    return jax.tree.map(
+        lambda x: jnp.zeros_like(x)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else _float0_like(x),
+        tree,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bucket_fused(meta, bg, a, b, v):
+    score, slope, tile_width = meta
+    out, _ = _forward(bg, a if score == "dot" else None,
+                      b if score == "dot" else None, v, score,
+                      a if score == "add" else None,
+                      b if score == "add" else None,
+                      slope, tile_width, None)
+    return out
+
+
+def _bucket_fused_fwd(meta, bg, a, b, v):
+    score, slope, tile_width = meta
+    out, lse = _forward(bg, a if score == "dot" else None,
+                        b if score == "dot" else None, v, score,
+                        a if score == "add" else None,
+                        b if score == "add" else None,
+                        slope, tile_width, None)
+    return out, (bg, a, b, v, out, lse)
+
+
+def _bucket_fused_bwd(meta, res, do):
+    score, slope, _ = meta
+    bg, a, b, v, out, lse = res
+    bgT = bg.transpose
+    h, f = v.shape[1], v.shape[2]
+    do = do.astype(jnp.float32)
+    delta = jnp.einsum("nhf,nhf->nh", do, out.astype(jnp.float32))
+
+    # CSR direction: dQ / d e_row (+ recomputed P against the saved lse)
+    src = _pack_src(b if score == "dot" else None, v,
+                    b if score == "add" else None, score, None)
+    csr_fn = lambda args: _bwd_csr_chunk(
+        args, a, do, lse, delta, src, f, score, slope)
+    csr_shapes = [(h, f)] if score == "dot" else [(h,)]
+    (da,) = _walk_backward(bg, csr_fn, csr_shapes, h, src.shape[-1],
+                           src.dtype.itemsize)
+
+    # CSC direction over the transposed layout: dK / d e_col, and dV
+    if score == "dot":
+        srcT = jnp.concatenate(
+            [a, do, lse[..., None], delta[..., None]], axis=-1)  # [N,h,2f+2]
+    else:
+        srcT = jnp.concatenate(
+            [do, a[..., None], lse[..., None], delta[..., None]], axis=-1)
+    csc_fn = lambda args: _bwd_csc_chunk(
+        args, b, v, srcT, f, score, slope)
+    csc_shapes = [(h, f), (h, f)] if score == "dot" else [(h,), (h, f)]
+    db, dv = _walk_backward(bgT, csc_fn, csc_shapes, h, srcT.shape[-1],
+                            srcT.dtype.itemsize)
+
+    return (_zero_tangents(bg), da.astype(a.dtype), db.astype(b.dtype),
+            dv.astype(v.dtype))
+
+
+_bucket_fused.defvjp(_bucket_fused_fwd, _bucket_fused_bwd)
 
 
 def bucket_graph_attention(
@@ -205,56 +506,22 @@ def bucket_graph_attention(
     ``q,k,v``: ``[n_nodes, h, f]`` (dot) or ``e_row,e_col``: ``[n_nodes, h]``
     (add).  Returns ``[n_nodes, h, f]``; rows with no edges produce zeros.
 
+    When ``bg`` carries a transposed layout (``with_transpose=True``) and
+    ``gather_dtype`` is None, gradients flow through the fused custom
+    backward (see module docstring); otherwise XLA autodiff applies.
+
     ``gather_dtype=jnp.bfloat16`` halves the bytes of the gathered source
     table; scores/accumulation stay fp32.  The gather is row-overhead
     bound, so this saves memory rather than time; expect ~1e-2 relative
     error — outside the reference's rtol=1e-3 bar, so it is opt-in.
     """
-    h, f = v.shape[1], v.shape[2]
-    if score == "dot":
-        src = jnp.concatenate([k, v], axis=-1)              # [N, h, 2f]
-    elif score == "add":
-        src = jnp.concatenate([v, e_col[..., None]], axis=-1)  # [N, h, f+1]
-    else:
+    if score not in ("dot", "add"):
         raise ValueError(f"unknown score mode {score!r}")
-    if gather_dtype is not None:
-        src = src.astype(gather_dtype)
-    fs = src.shape[-1]
-
-    out = jnp.zeros((bg.n_nodes + 1, h, f), dtype=v.dtype)
-    for b in bg.buckets:
-        r_pad, W = b.nbr.shape
-        chunk = _pick_chunk(r_pad, W, h, fs, src.dtype.itemsize)
-        n_chunks = -(-r_pad // chunk)
-        r_pad2 = n_chunks * chunk
-        pad_n = r_pad2 - r_pad
-
-        def _padded(x, fill):
-            if pad_n == 0 or x is None:
-                return x
-            cfg = [(0, pad_n)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, cfg, constant_values=fill)
-
-        row_ids = _padded(b.row_ids, bg.n_nodes)
-        chunked = (
-            row_ids.reshape(n_chunks, chunk),
-            _padded(b.nbr, bg.n_nodes).reshape(n_chunks, chunk, W),
-            _padded(b.emask, False).reshape(n_chunks, chunk, W),
-            None if b.val is None else _padded(b.val, 0.0).reshape(n_chunks, chunk, W),
-        )
-        if W <= tile_width:
-            fn = lambda a: _direct_chunk(a, q, e_row, src, f, score, negative_slope)
-        else:
-            tw = tile_width if W % tile_width == 0 else W
-            fn = lambda a: _tiled_chunk(a, q, e_row, src, f, score, negative_slope, tw)
-        if n_chunks == 1:
-            out_b = fn(tuple(None if x is None else x[0] for x in chunked))
-            out_b = out_b[None]
-        else:
-            out_b = jax.lax.map(fn, chunked)
-        out = out.at[row_ids].set(out_b.reshape(r_pad2, h, f), mode="drop")
-    if bg.segments is not None:
-        out = _segments_attention(
-            bg.segments, q, e_row, src, f, score, negative_slope, out
-        )
-    return out[: bg.n_nodes]
+    if bg.transpose is not None and gather_dtype is None:
+        meta = (score, negative_slope, tile_width)
+        if score == "dot":
+            return _bucket_fused(meta, bg, q, k, v)
+        return _bucket_fused(meta, bg, e_row, e_col, v)
+    out, _ = _forward(bg, q, k, v, score, e_row, e_col, negative_slope,
+                      tile_width, gather_dtype)
+    return out

@@ -37,7 +37,9 @@ def main(argv=None):
     g = Graph.from_coo(ds.rows, ds.cols, ds.n_nodes)
 
     t0 = time.time()
-    bg = build_buckets(g)  # preprocessing done once (ref :57)
+    # preprocessing done once (ref :57); transpose enables the fused
+    # custom backward (ref preprocess_Hyper_fw_bw analog)
+    bg = build_buckets(g, with_transpose=True)
     prep_s = time.time() - t0
     bg = bg.device_put()
     g = g.device_put()

@@ -115,6 +115,43 @@ def test_dense_batch_matches_oracle(rng, score):
     )
 
 
+@pytest.mark.parametrize("score", ["dot", "add"])
+@pytest.mark.parametrize("with_val", [False, True])
+def test_bucket_custom_vjp_matches_oracle_grads(rng, score, with_val):
+    """Fused custom backward (transpose layout: CSR-direction dQ +
+    CSC-direction dK/dV, reference fused_gtconv_backward.cu design) vs
+    oracle grads, both score modes, with/without edge values."""
+    import jax
+
+    n, h, f = 300, 2, 8
+    g = make_graph(rng, n, 8, super_node_deg=200, with_val=with_val)
+    bg = build_buckets(g, split_width=32, with_transpose=True)
+    assert bg.transpose is not None
+    q, k, v = _qkv(rng, n, h, f)
+    er, ec = (jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+              for _ in range(2))
+    t = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+    kw = dict(score=score, e_row=er, e_col=ec)
+
+    np.testing.assert_allclose(
+        np.asarray(graph_attention(bg, q, k, v, **kw)),
+        np.asarray(graph_attention_reference(g, q, k, v, **kw)),
+        rtol=1e-3, atol=1e-5,
+    )
+    if score == "dot":
+        args, argnums = (q, k, v), (0, 1, 2)
+        f_ref = lambda q, k, v: jnp.sum(graph_attention_reference(g, q, k, v) * t)
+        f_buk = lambda q, k, v: jnp.sum(graph_attention(bg, q, k, v) * t)
+    else:
+        args, argnums = (er, ec, v), (0, 1, 2)
+        f_ref = lambda er, ec, v: jnp.sum(graph_attention_reference(
+            g, None, None, v, score="add", e_row=er, e_col=ec) * t)
+        f_buk = lambda er, ec, v: jnp.sum(graph_attention(
+            bg, None, None, v, score="add", e_row=er, e_col=ec) * t)
+    for a, b in zip(jax.grad(f_buk, argnums)(*args), jax.grad(f_ref, argnums)(*args)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
 def test_bucket_autodiff_matches_oracle_grads(rng):
     n, h, f = 80, 1, 8
     g = make_graph(rng, n, 6)

@@ -64,9 +64,11 @@ def _pick_graph_block(B: int, P: int, f: int, n_feat: int, n_mat: int) -> int:
     buffered by the pipeline -> x2), ``n_mat`` = [P, P] fp32 intermediates
     on the scoped stack (scores/probs/grads).
     """
-    budget = 9 * 1024 * 1024  # leave headroom under the 16MB scoped limit
+    budget = 14 * 1024 * 1024  # leave headroom under the 16MB scoped limit
     per_graph = n_feat * 2 * P * f * 4 + n_mat * P * P * 4 + 2 * P * P
-    cap = max(1, budget // max(per_graph, 1))
+    # The estimate undercounts compiler-kept temporaries for small f (many
+    # heads); G=16 is past the pipelining knee anyway, so cap there.
+    cap = min(max(1, budget // max(per_graph, 1)), 16)
     # Mosaic constraint on the [h, B, P] row operands (block (1, G, P)):
     # the second-to-last block dim G must be a multiple of 8 or equal B.
     g = B if B <= cap else 1
@@ -108,8 +110,10 @@ def _softmax_matmul(s, adj, v, o_ref, lse_ref, prec):
     ex = jnp.where(adj, jnp.exp(s - m), 0.0)
     l = jnp.sum(ex, axis=-1, keepdims=True)
     inv = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
-    p = ex * inv
-    o_ref[:, 0, :, :] = _bmm_nn(p.astype(v.dtype), v, prec).astype(o_ref.dtype)
+    # normalise AFTER the matmul (row-scale of the output): one fewer live
+    # [G, P, P] buffer on the kernel's VMEM stack
+    o = _bmm_nn(ex.astype(v.dtype), v, prec) * inv
+    o_ref[:, 0, :, :] = o.astype(o_ref.dtype)
     lse = jnp.where(l > 0, m + jnp.log(jnp.where(l > 0, l, 1.0)), _NEG_BIG)
     lse_ref[0, :, :] = lse[:, :, 0]
 
@@ -147,7 +151,9 @@ def _specs(G, P, f):
 
 def _fwd(adj, q, k, v, e_row, e_col, score, slope, interpret, prec):
     B, h, P, f = v.shape
-    G = _pick_graph_block(B, P, f, n_feat=5, n_mat=3)
+    # n_mat=2: scores + exp live on the stack (normalisation is deferred to
+    # a row-scale of the matmul output)
+    G = _pick_graph_block(B, P, f, n_feat=5, n_mat=2)
     sp = _specs(G, P, f)
     out_shape = (
         jax.ShapeDtypeStruct((B, h, P, f), v.dtype),

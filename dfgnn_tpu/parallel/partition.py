@@ -19,6 +19,7 @@ Autodiff works end-to-end: the transpose of ``all_gather`` is
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -49,6 +50,10 @@ class EdgePartitionedGraph:
     mesh: Optional[Mesh] = struct.field(pytree_node=False, default=None)
     axis: str = struct.field(pytree_node=False, default="data")
     halo: Optional["HaloExchange"] = None
+    # Source-partitioned transpose (same row blocks): enables the fused
+    # distributed custom backward (CSC-direction dK/dV), the multi-chip
+    # analog of the reference's CSC arrays (fused_gtconv_backward.cu:41-70).
+    transpose: Optional["EdgePartitionedGraph"] = None
 
 
 @struct.dataclass
@@ -78,6 +83,7 @@ def partition_graph(
     mesh: Optional[Mesh] = None,
     axis: str = "data",
     halo: bool = False,
+    with_transpose: bool = False,
 ) -> EdgePartitionedGraph:
     """Host-side: split rows into ``n_devices`` contiguous blocks and build
     shape-harmonized per-device buckets.
@@ -196,6 +202,17 @@ def partition_graph(
                 row_chunk=b0.row_chunk,
             )
         )
+    transpose = None
+    if with_transpose:
+        e = g.n_edges
+        gT = Graph.from_coo(
+            np.asarray(g.cols)[:e], np.asarray(g.rows)[:e], n,
+            val=None if g.val is None else np.asarray(g.val)[:e],
+        )
+        transpose = partition_graph(
+            gT, n_devices, min_width=min_width, widths=None,
+            mesh=mesh, axis=axis, halo=halo, with_transpose=False,
+        )
     return EdgePartitionedGraph(
         buckets=tuple(stacked),
         n_nodes=n,
@@ -205,6 +222,7 @@ def partition_graph(
         mesh=mesh,
         axis=axis,
         halo=halo_plan,
+        transpose=transpose,
     )
 
 
@@ -213,6 +231,41 @@ def _pad_nodes(x, n_pad):
         return x
     pad = [(0, n_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
     return jnp.pad(x, pad)
+
+
+def _local_bg(pg: EdgePartitionedGraph, buckets) -> BucketedGraph:
+    """This shard's bucket slice as a local BucketedGraph."""
+    local = jax.tree.map(lambda x: x[0], buckets)
+    return BucketedGraph(buckets=local, n_nodes=pg.n_local, n_edges=pg.n_edges)
+
+
+def _make_exchange(pg: EdgePartitionedGraph, send_local, axis: str):
+    """Source-row exchange closure for one shard: halo-compressed
+    all_to_all when the partition carries a plan, else all-gather."""
+    if pg.halo is not None:
+        sl = send_local[0]  # [n_devices, max_halo] local row indices
+        nd, H = pg.n_devices, pg.halo.max_halo
+
+        def exchange(x_l):
+            rows = jnp.take(x_l, sl, axis=0, mode="clip")  # [nd, H, ...]
+            recv = jax.lax.all_to_all(
+                rows, axis, split_axis=0, concat_axis=0, tiled=True
+            )
+            zero = jnp.zeros((1,) + x_l.shape[1:], x_l.dtype)
+            return jnp.concatenate(
+                [x_l, recv.reshape((nd * H,) + x_l.shape[1:]), zero], axis=0
+            )
+        return exchange
+
+    def exchange(x_l):
+        return jax.lax.all_gather(x_l, axis, tiled=True)
+    return exchange
+
+
+def _send_arg(pg: EdgePartitionedGraph):
+    if pg.halo is not None:
+        return jnp.asarray(pg.halo.send_local)
+    return jnp.zeros((pg.n_devices, 1), jnp.int32)
 
 
 def dist_graph_attention(
@@ -249,35 +302,16 @@ def dist_graph_attention(
         operands = (e_row, e_col, v)
     specs = tuple(node_spec for _ in operands)
 
-    halo = pg.halo
+    if pg.transpose is not None:
+        if pg.mesh is None:
+            pg = pg.replace(mesh=mesh)
+        a, b_ = operands[0], operands[1]
+        out = _dist_fused((score, negative_slope, axis), pg, a, b_, operands[2])
+        return out[: pg.n_nodes]
 
     def body(buckets, send_local, *ops):
-        # strip the leading device axis from this shard's bucket slice
-        local_buckets = jax.tree.map(lambda x: x[0], buckets)
-        bg = BucketedGraph(
-            buckets=local_buckets, n_nodes=pg.n_local, n_edges=pg.n_edges
-        )
-
-        if halo is not None:
-            sl = send_local[0]  # [n_devices, max_halo] local row indices
-            nd, H = pg.n_devices, halo.max_halo
-
-            def exchange(x_l):
-                """Boundary rows only: one all_to_all over ICI; result is
-                this device's source table [local ++ halo ++ zero-row]."""
-                rows = jnp.take(x_l, sl, axis=0, mode="clip")  # [nd, H, ...]
-                recv = jax.lax.all_to_all(
-                    rows, axis, split_axis=0, concat_axis=0, tiled=True
-                )
-                zero = jnp.zeros((1,) + x_l.shape[1:], x_l.dtype)
-                return jnp.concatenate(
-                    [x_l, recv.reshape((nd * H,) + x_l.shape[1:]), zero], axis=0
-                )
-        else:
-            # graph analog of KV all-gather: replicate all sources
-            def exchange(x_l):
-                return jax.lax.all_gather(x_l, axis, tiled=True)
-
+        bg = _local_bg(pg, buckets)
+        exchange = _make_exchange(pg, send_local, axis)
         if score == "dot":
             q_l, k_l, v_l = ops
             return bucket_graph_attention(
@@ -291,7 +325,6 @@ def dist_graph_attention(
             negative_slope=negative_slope,
         )
 
-    send_arg = halo.send_local if halo is not None else jnp.zeros((pg.n_devices, 1), jnp.int32)
     fn = jax.shard_map(
         body,
         mesh=mesh,
@@ -299,5 +332,123 @@ def dist_graph_attention(
         out_specs=node_spec,
         check_vma=False,
     )
-    out = fn(pg.buckets, jnp.asarray(send_arg), *operands)
+    out = fn(pg.buckets, _send_arg(pg), *operands)
     return out[: pg.n_nodes]
+
+
+# ---------------------------------------------------------------------------
+# Fused distributed custom backward (partition_graph(with_transpose=True)):
+# the multi-chip version of the bucket path's two-direction backward.  The
+# CSR-direction pass (dQ / d e_row) runs on the destination partition with
+# the same source exchange as forward; the CSC-direction pass (dK / d e_col
+# and dV) runs on the SOURCE partition (the transposed layout, same node
+# blocks) with the reverse exchange carrying q/do/lse/delta.  Both are
+# gather-based; no scatter-adds and no psum_scatter transposes.
+# ---------------------------------------------------------------------------
+
+def _dist_forward_lse(meta, pg, a, b_, v):
+    """shard_map forward emitting (out, lse), both node-sharded."""
+    from dfgnn_tpu.ops import bucket as _bk
+
+    score, slope, axis = meta
+    node_spec = P(axis)
+    bucket_spec = jax.tree.map(lambda _: P(axis), pg.buckets)
+
+    def body(buckets, send_local, a_l, b_l, v_l):
+        bg = _local_bg(pg, buckets)
+        exchange = _make_exchange(pg, send_local, axis)
+        if score == "dot":
+            return _bk._forward(bg, a_l, exchange(b_l), exchange(v_l),
+                                score, None, None, slope, 2048, None)
+        return _bk._forward(bg, None, None, exchange(v_l),
+                            score, a_l, exchange(b_l), slope, 2048, None)
+
+    fn = jax.shard_map(
+        body, mesh=pg.mesh,
+        in_specs=(bucket_spec, node_spec, node_spec, node_spec, node_spec),
+        out_specs=(node_spec, node_spec),
+        check_vma=False,
+    )
+    return fn(pg.buckets, _send_arg(pg), a, b_, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dist_fused(meta, pg, a, b_, v):
+    out, _ = _dist_forward_lse(meta, pg, a, b_, v)
+    return out
+
+
+def _dist_fused_fwd(meta, pg, a, b_, v):
+    out, lse = _dist_forward_lse(meta, pg, a, b_, v)
+    return out, (pg, a, b_, v, out, lse)
+
+
+def _dist_fused_bwd(meta, res, do):
+    from dfgnn_tpu.ops import bucket as _bk
+
+    score, slope, axis = meta
+    pg, a, b_, v, out, lse = res
+    pgT = pg.transpose
+    h, f = v.shape[1], v.shape[2]
+    node_spec = P(axis)
+    bucket_spec = jax.tree.map(lambda _: P(axis), pg.buckets)
+    bucketT_spec = jax.tree.map(lambda _: P(axis), pgT.buckets)
+
+    def body(buckets, bucketsT, send_local, send_localT,
+             a_l, b_l, v_l, do_l, out_l, lse_l):
+        bg = _local_bg(pg, buckets)
+        bgT = _local_bg(pgT, bucketsT)
+        exchange = _make_exchange(pg, send_local, axis)
+        exchangeT = _make_exchange(pgT, send_localT, axis)
+        do32 = do_l.astype(jnp.float32)
+        delta_l = jnp.einsum("nhf,nhf->nh", do32, out_l.astype(jnp.float32))
+
+        # CSR direction (destination partition): dQ / d e_row
+        if score == "dot":
+            src = _bk._pack_src(exchange(b_l), exchange(v_l), None, score, None)
+        else:
+            src = _bk._pack_src(None, exchange(v_l), exchange(b_l), score, None)
+        csr_fn = lambda args: _bk._bwd_csr_chunk(
+            args, a_l, do32, lse_l, delta_l, src, f, score, slope)
+        csr_shapes = [(h, f)] if score == "dot" else [(h,)]
+        (da_l,) = _bk._walk_backward(bg, csr_fn, csr_shapes, h,
+                                     src.shape[-1], src.dtype.itemsize)
+
+        # CSC direction (source partition): dK / d e_col, dV — the remote
+        # operands (q/do/lse/delta of destinations) ride the reverse
+        # exchange as one packed table.
+        if score == "dot":
+            srcT_l = jnp.concatenate(
+                [a_l, do32, lse_l[..., None], delta_l[..., None]], axis=-1)
+        else:
+            srcT_l = jnp.concatenate(
+                [do32, a_l[..., None], lse_l[..., None], delta_l[..., None]],
+                axis=-1)
+        srcT = exchangeT(srcT_l)
+        csc_fn = lambda args: _bk._bwd_csc_chunk(
+            args, b_l, v_l, srcT, f, score, slope)
+        csc_shapes = [(h, f), (h, f)] if score == "dot" else [(h,), (h, f)]
+        db_l, dv_l = _bk._walk_backward(bgT, csc_fn, csc_shapes, h,
+                                        srcT.shape[-1], srcT.dtype.itemsize)
+        return da_l, db_l, dv_l
+
+    fn = jax.shard_map(
+        body, mesh=pg.mesh,
+        in_specs=(bucket_spec, bucketT_spec, node_spec, node_spec)
+        + (node_spec,) * 6,
+        out_specs=(node_spec, node_spec, node_spec),
+        check_vma=False,
+    )
+    da, db, dv = fn(pg.buckets, pgT.buckets, _send_arg(pg), _send_arg(pgT),
+                    a, b_, v, do, out, lse)
+    return (_zero_tangents_pg(pg), da.astype(a.dtype), db.astype(b_.dtype),
+            dv.astype(v.dtype))
+
+
+def _zero_tangents_pg(pg):
+    from dfgnn_tpu.ops.bucket import _zero_tangents
+
+    return _zero_tangents(pg)
+
+
+_dist_fused.defvjp(_dist_fused_fwd, _dist_fused_bwd)

@@ -122,6 +122,54 @@ def test_halo_exchange_add_and_autodiff(rng):
     np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("halo", [False, True])
+def test_dist_custom_backward(rng, halo):
+    """Fused distributed backward (partition with_transpose=True): CSR-dir
+    dQ on the destination partition + CSC-dir dK/dV on the source
+    partition, matching oracle grads under both exchange modes."""
+    n, h, f, n_dev = 240, 2, 8, 4
+    g = make_graph(rng, n, 6, super_node_deg=150)
+    pg = partition_graph(g, n_dev, halo=halo, with_transpose=True)
+    assert pg.transpose is not None
+    mesh = make_mesh(n_dev)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32)) for _ in range(3)
+    )
+    t = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dist_graph_attention(pg, mesh, q, k, v)),
+        np.asarray(graph_attention_reference(g, q, k, v)),
+        rtol=1e-3, atol=1e-5,
+    )
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(graph_attention_reference(g, q, k, v) * t), (0, 1, 2)
+    )(q, k, v)
+    g_dist = jax.grad(
+        lambda q, k, v: jnp.sum(dist_graph_attention(pg, mesh, q, k, v) * t), (0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(g_dist, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_dist_custom_backward_add(rng):
+    """GAT-score distributed fused backward (d e_row / d e_col / dV)."""
+    n, h, f, n_dev = 160, 1, 8, 4
+    g = make_graph(rng, n, 5)
+    pg = partition_graph(g, n_dev, halo=True, with_transpose=True)
+    mesh = make_mesh(n_dev)
+    v = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+    er, ec = (jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+              for _ in range(2))
+    t = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+    fr = lambda er, ec, v: jnp.sum(graph_attention_reference(
+        g, None, None, v, score="add", e_row=er, e_col=ec) * t)
+    fd = lambda er, ec, v: jnp.sum(dist_graph_attention(
+        pg, mesh, None, None, v, score="add", e_row=er, e_col=ec) * t)
+    for a, b in zip(jax.grad(fd, (0, 1, 2))(er, ec, v),
+                    jax.grad(fr, (0, 1, 2))(er, ec, v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
 def test_dist_under_jit_with_shardings(rng):
     """jit end-to-end with node-dim-sharded inputs."""
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -60,7 +60,9 @@ def graph_attention(
             from dfgnn_tpu.ops.pallas import flash_mask
 
             return flash_mask.flash_graph_attention(g, q, k, v, **kw)
-        if method in ("auto", "dense", "flash"):
+        if method in ("auto", "dense", "flash", "reference"):
+            # "reference" on a DenseBatch = the unfused XLA dense
+            # formulation (the oracle for this layout)
             return _dense.dense_graph_attention(g, q, k, v, **kw, **drop)
         raise ValueError(f"method {method!r} invalid for DenseBatch")
     if isinstance(g, BucketedGraph):

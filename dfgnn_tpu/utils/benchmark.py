@@ -114,7 +114,7 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
         return min(ts), max(ts) - min(ts)
 
     n_lo = 2
-    for _attempt in range(4):
+    for _attempt in range(6):
         lo, hi = make(n_lo), make(n_lo + iters)
         timed(lo, fresh())  # warm compile
         timed(hi, fresh())
@@ -125,6 +125,16 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
         if diff > 2.0 * jitter:
             break
         iters *= 2
+    else:
+        import sys
+
+        print(
+            f"[benchmark_chained] WARNING: iteration delta never resolved "
+            f"above jitter (diff={diff*1e3:.3f}ms, jitter={jitter*1e3:.3f}ms, "
+            f"iters={iters}); result is an upper-noise-bound, not a "
+            f"measurement",
+            file=sys.stderr,
+        )
     return max(diff, 1e-9) / iters * 1e3
 
 

@@ -64,10 +64,13 @@ def main(argv=None):
             eps = batch.n_edges / (ms / 1e3)
             times.append((ms, eps))
             if ep < 1 and fmt != "reference":
-                # correctness vs oracle on the block-diagonal graph
+                # correctness vs oracle on the block-diagonal graph, at
+                # HIGHEST matmul precision on both sides (TPU matmuls
+                # default to bf16 passes; the parity bar is fp32)
                 g = batch.to_graph()
-                want = layer.apply(params, g, x, impl="reference")
-                got = layer.apply(params, batch, x, impl=fmt)
+                with jax.default_matmul_precision("highest"):
+                    want = layer.apply(params, g, x, impl="reference")
+                    got = layer.apply(params, batch, x, impl=fmt)
                 ok = check_correct(np.asarray(got), np.asarray(want))
                 print(f"  [{fmt}] correctness vs oracle: {'OK' if ok else 'FAIL'}")
             if ep >= 1:

@@ -67,7 +67,9 @@ def main():
     from dfgnn_tpu.ops.bucket import bucket_graph_attention
     from dfgnn_tpu import formats
 
-    ds = load_full_graph("reddit", "data", scale=0.25)
+    # full scale: auto-selects the source-blocked layout (fast-gather
+    # sub-tables; see formats.BlockedBucketedGraph)
+    ds = load_full_graph("reddit", "data", scale=1.0)
     gf = Graph.from_coo(ds.rows, ds.cols, ds.n_nodes)
     bgf = formats.preprocess("bucketed", gf).device_put()
     qf, kf, vf = (
@@ -94,7 +96,7 @@ def main():
                     "oracle_ms_per_subbatch": round(oracle_ms, 3),
                     "oracle_edges_per_s": round(oracle_eps),
                     "n_edges": batch.n_edges,
-                    "full_graph_reddit_quarter_edges_per_s": round(full_eps),
+                    "full_graph_reddit_edges_per_s": round(full_eps),
                     "full_graph_ms": round(full_ms, 3),
                     "full_graph_n_edges": gf.n_edges,
                     "backend": jax.default_backend(),

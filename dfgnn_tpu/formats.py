@@ -106,9 +106,52 @@ class BucketedGraph:
         return tot
 
 
+@struct.dataclass
+class BlockedBucketedGraph:
+    """Source-blocked bucketed layout for LARGE full graphs.
+
+    Measured on TPU v5e: XLA's random row-gather runs ~2x slower once the
+    gathered table exceeds ~100MB (8.0 vs 4.9 ns/row at 1KB rows),
+    regardless of index locality.  Splitting the SOURCE nodes into blocks
+    of ``block_rows`` and grouping each row's edges by source block keeps
+    every gather inside one barriered sub-table slice at the fast rate;
+    per-block partial rows merge exactly via their logsumexps (the online
+    softmax combine across blocks).
+
+    ``blocks[b]`` is a normal :class:`BucketedGraph` over the SAME row
+    space whose ``nbr`` ids are REBASED to block-local (sentinel =
+    ``block_rows``); rows with no edge in a block are simply absent from
+    its buckets (their lse stays -inf and the merge weight is 0).
+    """
+
+    blocks: Tuple[BucketedGraph, ...]
+    block_rows: int = struct.field(pytree_node=False, default=0)
+    n_nodes: int = struct.field(pytree_node=False, default=0)
+    n_edges: int = struct.field(pytree_node=False, default=0)
+    graph_id: Optional[jax.Array] = None
+    n_graphs: int = struct.field(pytree_node=False, default=1)
+    transpose: Optional["BlockedBucketedGraph"] = None
+
+    def device_put(self, sharding=None) -> "BlockedBucketedGraph":
+        from dfgnn_tpu.graph import device_put
+
+        return device_put(self, sharding)
+
+    @property
+    def padded_edges(self) -> int:
+        return sum(b.padded_edges for b in self.blocks)
+
+
 # Edge budget per compute chunk (rows-at-once x bucket width); bounds the
 # size of gathered [chunk, width, h, f] temporaries.
 _EDGE_CHUNK = 1 << 15
+
+# Source-block size (rows) and the node count above which blocking kicks
+# in automatically: at the canonical dim-128 fp32 config the k||v table is
+# 1KB/row, so 81920 rows = 80MB — under the measured ~100MB fast-gather
+# knee with headroom for the barriered slice copy.
+_SRC_BLOCK_ROWS = 81920
+_AUTO_BLOCK_ABOVE = 131072
 
 
 def bucket_rows_numpy(
@@ -216,18 +259,27 @@ def segment_rows_numpy(
     n_rows_space: int,
     n_cols_space: int,
     edge_chunk: int = _EDGE_CHUNK,
+    s_pad_to: Optional[int] = None,
+    r_pad_to: Optional[int] = None,
 ) -> Optional[SegmentBucket]:
-    """Lay the rows in ``sel`` out as fixed-``width`` edge segments."""
-    if sel.size == 0:
+    """Lay the rows in ``sel`` out as fixed-``width`` edge segments.
+
+    ``s_pad_to``/``r_pad_to`` force the padded segment/row counts so
+    multiple partitions produce identical shapes (SPMD requirement);
+    padded rows scatter to the ``n_rows_space`` sentinel and are dropped.
+    """
+    if sel.size == 0 and s_pad_to is None:
         return None
     deg = (indptr[1:] - indptr[:-1])[sel]
     R = int(sel.size)
+    R_pad = R if r_pad_to is None else int(r_pad_to)
     nseg = -(-deg // width)
     S = int(nseg.sum())
     chunk = max(8, edge_chunk // width)
-    s_pad = _round_up(S, chunk)
+    s_pad = _round_up(S, chunk) if s_pad_to is None else int(s_pad_to)
+    assert S <= s_pad and R <= R_pad, (S, s_pad, R, R_pad)
 
-    seg_id = np.full(s_pad, R, dtype=np.int32)
+    seg_id = np.full(s_pad, R_pad, dtype=np.int32)
     seg_id[:S] = np.repeat(np.arange(R, dtype=np.int32), nseg)
     seg_dst = np.full(s_pad, n_rows_space, dtype=np.int32)
     seg_dst[:S] = np.repeat(sel.astype(np.int32), nseg)
@@ -248,10 +300,84 @@ def segment_rows_numpy(
     if val is not None:
         bval = np.zeros((s_pad, width), dtype=np.float32)
         bval[seg_of_edge, lane] = val[edge_idx]
+    wide_rows = np.full(R_pad, n_rows_space, dtype=np.int32)
+    wide_rows[:R] = sel
     return SegmentBucket(
         nbr=nbr, emask=emask, seg_id=seg_id, seg_dst=seg_dst,
-        wide_rows=sel.astype(np.int32), val=bval,
+        wide_rows=wide_rows, val=bval,
         width=int(width), n_rows=R, n_segments=S, row_chunk=int(chunk),
+    )
+
+
+def _bucketize(indptr, cols, val, *, n_rows_space, n_cols_space,
+               min_width, edge_chunk, widths, split_width):
+    """Shared core: ladder buckets + segment split over raw CSR arrays."""
+    deg = indptr[1:] - indptr[:-1]
+    max_deg = int(deg.max()) if len(deg) else 0
+    segments = None
+    if widths is None:
+        if split_width is not None and max_deg > split_width:
+            widths = _width_ladder(min_width, split_width)
+            sel = np.nonzero(deg > split_width)[0]
+            segments = segment_rows_numpy(
+                indptr, cols, val, sel,
+                width=split_width, n_rows_space=n_rows_space,
+                n_cols_space=n_cols_space, edge_chunk=edge_chunk,
+            )
+        else:
+            widths = _width_ladder(min_width, max_deg)
+    buckets = bucket_rows_numpy(
+        indptr, cols, val,
+        n_rows_space=n_rows_space,
+        n_cols_space=n_cols_space,
+        min_width=min_width,
+        edge_chunk=edge_chunk,
+        widths=widths,
+    )
+    return tuple(buckets), segments
+
+
+def _build_blocked(
+    g: Graph, block_rows: int, *,
+    min_width, edge_chunk, widths, split_width, with_transpose,
+) -> "BlockedBucketedGraph":
+    n = g.n_nodes
+    e = g.n_edges
+    rows = np.asarray(g.rows)[:e]
+    cols = np.asarray(g.cols)[:e]
+    val = None if g.val is None else np.asarray(g.val)[:e]
+    nb = -(-n // block_rows)
+    blocks = []
+    for b in range(nb):
+        lo = b * block_rows
+        hi = min(lo + block_rows, n)
+        m = (cols >= lo) & (cols < hi)
+        rb = rows[m]                      # still row-sorted
+        cb = (cols[m] - lo).astype(np.int64)
+        vb = None if val is None else val[m]
+        ip = np.zeros(n + 1, np.int64)
+        np.add.at(ip, rb + 1, 1)
+        ip = np.cumsum(ip)
+        bks, segs = _bucketize(
+            ip, cb, vb, n_rows_space=n, n_cols_space=block_rows,
+            min_width=min_width, edge_chunk=edge_chunk,
+            widths=widths, split_width=split_width,
+        )
+        blocks.append(BucketedGraph(
+            buckets=bks, n_nodes=n, n_edges=int(rb.size), segments=segs,
+        ))
+    transpose = None
+    if with_transpose:
+        gT = Graph.from_coo(cols, rows, n,
+                            val=None if val is None else val)
+        transpose = _build_blocked(
+            gT, block_rows, min_width=min_width, edge_chunk=edge_chunk,
+            widths=widths, split_width=split_width, with_transpose=False,
+        )
+    return BlockedBucketedGraph(
+        blocks=tuple(blocks), block_rows=int(block_rows),
+        n_nodes=n, n_edges=e, graph_id=g.graph_id, n_graphs=g.n_graphs,
+        transpose=transpose,
     )
 
 
@@ -263,6 +389,7 @@ def build_buckets(
     widths: Optional[Sequence[int]] = None,
     split_width: Optional[int] = 256,
     with_transpose: bool = False,
+    src_block_rows="auto",
 ) -> BucketedGraph:
     """Host-side: split rows into degree buckets (padded neighbor lists) and
     lay super-wide rows (degree > ``split_width``) out as fixed-width edge
@@ -281,34 +408,30 @@ def build_buckets(
     (training preprocessing, analog of ``preprocess_Hyper_fw_bw``'s CSC
     arrays, ``DFGNN/layers/util.py:116-142``) so gradients take the fused
     custom backward instead of XLA's scatter-add transpose.
+
+    ``src_block_rows`` (default ``"auto"``): on graphs above
+    ``_AUTO_BLOCK_ABOVE`` nodes, returns a :class:`BlockedBucketedGraph`
+    whose gathers stay inside fast-rate sub-tables (see that class's
+    docstring).  Pass ``None`` to force the flat layout or an int to force
+    a block size.
     """
     n = g.n_nodes
+    if src_block_rows == "auto":
+        src_block_rows = _SRC_BLOCK_ROWS if n > _AUTO_BLOCK_ABOVE else None
+    if src_block_rows:
+        return _build_blocked(
+            g, int(src_block_rows), min_width=min_width,
+            edge_chunk=edge_chunk, widths=widths, split_width=split_width,
+            with_transpose=with_transpose,
+        )
     indptr = np.asarray(g.indptr, dtype=np.int64)
     cols = np.asarray(g.cols)
     val = None if g.val is None else np.asarray(g.val)
-    deg = indptr[1:] - indptr[:-1]
-    max_deg = int(deg.max()) if n else 0
 
-    segments = None
-    if widths is None:
-        if split_width is not None and max_deg > split_width:
-            widths = _width_ladder(min_width, split_width)
-            sel = np.nonzero(deg > split_width)[0]
-            segments = segment_rows_numpy(
-                indptr, cols, val, sel,
-                width=split_width, n_rows_space=n, n_cols_space=n,
-                edge_chunk=edge_chunk,
-            )
-        else:
-            widths = _width_ladder(min_width, max_deg)
-
-    buckets = bucket_rows_numpy(
-        indptr, cols, val,
-        n_rows_space=n,
-        n_cols_space=n,
-        min_width=min_width,
-        edge_chunk=edge_chunk,
-        widths=widths,
+    buckets, segments = _bucketize(
+        indptr, cols, val, n_rows_space=n, n_cols_space=n,
+        min_width=min_width, edge_chunk=edge_chunk,
+        widths=widths, split_width=split_width,
     )
     transpose = None
     if with_transpose:
@@ -320,6 +443,7 @@ def build_buckets(
         transpose = build_buckets(
             gT, min_width=min_width, edge_chunk=edge_chunk,
             split_width=split_width, with_transpose=False,
+            src_block_rows=None,
         )
     return BucketedGraph(
         buckets=tuple(buckets),

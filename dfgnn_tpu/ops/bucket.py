@@ -46,7 +46,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import dtypes as jax_dtypes
 
-from dfgnn_tpu.formats import Bucket, BucketedGraph, SegmentBucket
+from dfgnn_tpu.formats import (
+    BlockedBucketedGraph, Bucket, BucketedGraph, SegmentBucket,
+)
 
 _NEG_BIG = -1e30
 _DEAD = 0.5 * _NEG_BIG  # rows with lse below this have no edges
@@ -253,11 +255,18 @@ def _pack_src(k, v, e_col, score, gather_dtype):
 def _forward(bg, q, k, v, score, e_row, e_col, negative_slope, tile_width,
              gather_dtype):
     """Fused forward; returns (out [n,h,f], lse [n,h])."""
-    h, f = v.shape[1], v.shape[2]
     src = _pack_src(k, v, e_col, score, gather_dtype)
+    return _forward_src(bg, q, e_row, src, v.dtype, v.shape[2], score,
+                        negative_slope, tile_width)
+
+
+def _forward_src(bg, q, e_row, src, out_dtype, f, score, negative_slope,
+                 tile_width):
+    """Forward over one (possibly source-block-local) packed src table."""
+    h = src.shape[1]
     fs = src.shape[-1]
 
-    out = jnp.zeros((bg.n_nodes + 1, h, f), dtype=v.dtype)
+    out = jnp.zeros((bg.n_nodes + 1, h, f), dtype=out_dtype)
     lse = jnp.full((bg.n_nodes + 1, h), _NEG_BIG, dtype=jnp.float32)
     for b in bg.buckets:
         W = b.nbr.shape[1]
@@ -292,6 +301,75 @@ def _forward(bg, q, k, v, score, e_row, e_col, negative_slope, tile_width,
         out = out.at[sb.wide_rows].set(out_r[:R].astype(out.dtype), mode="drop")
         lse = lse.at[sb.wide_rows].set(lse_r[:R], mode="drop")
     return out[: bg.n_nodes], lse[: bg.n_nodes]
+
+
+# ---------------------------------------------------------------------------
+# Source-blocked layout (BlockedBucketedGraph): per-block forward at the
+# fast gather rate + exact cross-block logsumexp merge.
+# ---------------------------------------------------------------------------
+
+def _slice_block(src, lo, B):
+    """Barriered sub-table slice: materialising it keeps the gather inside
+    a small table, which runs ~2x faster than gathering from a >100MB
+    buffer (measured; see formats.BlockedBucketedGraph)."""
+    sub = jax.lax.dynamic_slice_in_dim(src, lo, B, axis=0)
+    return jax.lax.optimization_barrier(sub)
+
+
+def _pad_rows(x, n_pad):
+    if x.shape[0] >= n_pad:
+        return x
+    cfg = [(0, n_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, cfg)
+
+
+def _iter_blocks(layout, src):
+    """Yield (BucketedGraph, src_table) per source block — or once for a
+    flat layout."""
+    if isinstance(layout, BlockedBucketedGraph):
+        B = layout.block_rows
+        src = _pad_rows(src, len(layout.blocks) * B)
+        for bi, bg_b in enumerate(layout.blocks):
+            yield bg_b, _slice_block(src, bi * B, B)
+    else:
+        yield layout, src
+
+
+def _merge_blocks(outs, lses):
+    """Exact cross-block softmax combine from per-block (out, lse)."""
+    L = jnp.stack(lses)                     # [nb, n, h]
+    O = jnp.stack(outs)                     # [nb, n, h, f]
+    m = jnp.maximum(jnp.max(L, axis=0), _NEG_BIG)
+    w = jnp.where(L > _DEAD, jnp.exp(L - m), 0.0)
+    den = jnp.sum(w, axis=0)
+    out = jnp.einsum("bnh,bnhf->nhf", w, O)
+    live = den[..., None] > 0
+    out = jnp.where(live, out / jnp.where(live, den[..., None], 1.0), 0.0)
+    lse = jnp.where(den > 0, m + jnp.log(jnp.where(den > 0, den, 1.0)),
+                    _NEG_BIG)
+    return out, lse
+
+
+def _blocked_forward(bbg, q, k, v, score, e_row, e_col, negative_slope,
+                     tile_width, gather_dtype):
+    src = _pack_src(k, v, e_col, score, gather_dtype)
+    outs, lses = [], []
+    for bg_b, sub in _iter_blocks(bbg, src):
+        o, l = _forward_src(bg_b, q, e_row, sub, jnp.float32, v.shape[2],
+                            score, negative_slope, tile_width)
+        outs.append(o)
+        lses.append(l)
+    out, lse = _merge_blocks(outs, lses)
+    return out.astype(v.dtype), lse
+
+
+def _any_forward(bg, q, k, v, score, e_row, e_col, negative_slope,
+                 tile_width, gather_dtype):
+    if isinstance(bg, BlockedBucketedGraph):
+        return _blocked_forward(bg, q, k, v, score, e_row, e_col,
+                                negative_slope, tile_width, gather_dtype)
+    return _forward(bg, q, k, v, score, e_row, e_col, negative_slope,
+                    tile_width, gather_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -433,21 +511,21 @@ def _zero_tangents(tree):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _bucket_fused(meta, bg, a, b, v):
     score, slope, tile_width = meta
-    out, _ = _forward(bg, a if score == "dot" else None,
-                      b if score == "dot" else None, v, score,
-                      a if score == "add" else None,
-                      b if score == "add" else None,
-                      slope, tile_width, None)
+    out, _ = _any_forward(bg, a if score == "dot" else None,
+                          b if score == "dot" else None, v, score,
+                          a if score == "add" else None,
+                          b if score == "add" else None,
+                          slope, tile_width, None)
     return out
 
 
 def _bucket_fused_fwd(meta, bg, a, b, v):
     score, slope, tile_width = meta
-    out, lse = _forward(bg, a if score == "dot" else None,
-                        b if score == "dot" else None, v, score,
-                        a if score == "add" else None,
-                        b if score == "add" else None,
-                        slope, tile_width, None)
+    out, lse = _any_forward(bg, a if score == "dot" else None,
+                            b if score == "dot" else None, v, score,
+                            a if score == "add" else None,
+                            b if score == "add" else None,
+                            slope, tile_width, None)
     return out, (bg, a, b, v, out, lse)
 
 
@@ -462,11 +540,14 @@ def _bucket_fused_bwd(meta, res, do):
     # CSR direction: dQ / d e_row (+ recomputed P against the saved lse)
     src = _pack_src(b if score == "dot" else None, v,
                     b if score == "add" else None, score, None)
-    csr_fn = lambda args: _bwd_csr_chunk(
-        args, a, do, lse, delta, src, f, score, slope)
     csr_shapes = [(h, f)] if score == "dot" else [(h,)]
-    (da,) = _walk_backward(bg, csr_fn, csr_shapes, h, src.shape[-1],
-                           src.dtype.itemsize)
+    da = None
+    for bg_b, sub in _iter_blocks(bg, src):
+        csr_fn = lambda args, sub=sub: _bwd_csr_chunk(
+            args, a, do, lse, delta, sub, f, score, slope)
+        (da_b,) = _walk_backward(bg_b, csr_fn, csr_shapes, h, src.shape[-1],
+                                 src.dtype.itemsize)
+        da = da_b if da is None else da + da_b
 
     # CSC direction over the transposed layout: dK / d e_col, and dV
     if score == "dot":
@@ -475,11 +556,15 @@ def _bucket_fused_bwd(meta, res, do):
     else:
         srcT = jnp.concatenate(
             [do, a[..., None], lse[..., None], delta[..., None]], axis=-1)
-    csc_fn = lambda args: _bwd_csc_chunk(
-        args, b, v, srcT, f, score, slope)
     csc_shapes = [(h, f), (h, f)] if score == "dot" else [(h,), (h, f)]
-    db, dv = _walk_backward(bgT, csc_fn, csc_shapes, h, srcT.shape[-1],
-                            srcT.dtype.itemsize)
+    db = dv = None
+    for bgT_b, subT in _iter_blocks(bgT, srcT):
+        csc_fn = lambda args, subT=subT: _bwd_csc_chunk(
+            args, b, v, subT, f, score, slope)
+        db_b, dv_b = _walk_backward(bgT_b, csc_fn, csc_shapes, h,
+                                    srcT.shape[-1], srcT.dtype.itemsize)
+        db = db_b if db is None else db + db_b
+        dv = dv_b if dv is None else dv + dv_b
 
     return (_zero_tangents(bg), da.astype(a.dtype), db.astype(b.dtype),
             dv.astype(v.dtype))
@@ -522,6 +607,6 @@ def bucket_graph_attention(
         if score == "dot":
             return _bucket_fused(meta, bg, q, k, v)
         return _bucket_fused(meta, bg, e_row, e_col, v)
-    out, _ = _forward(bg, q, k, v, score, e_row, e_col, negative_slope,
-                      tile_width, gather_dtype)
+    out, _ = _any_forward(bg, q, k, v, score, e_row, e_col, negative_slope,
+                          tile_width, gather_dtype)
     return out

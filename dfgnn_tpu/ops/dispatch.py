@@ -13,7 +13,7 @@ from typing import Optional
 import jax
 
 from dfgnn_tpu.graph import DenseBatch, Graph
-from dfgnn_tpu.formats import BucketedGraph
+from dfgnn_tpu.formats import BlockedBucketedGraph, BucketedGraph
 from dfgnn_tpu.ops import reference as _ref
 from dfgnn_tpu.ops import dense_block as _dense
 from dfgnn_tpu.ops import bucket as _bucket
@@ -65,10 +65,10 @@ def graph_attention(
             # formulation (the oracle for this layout)
             return _dense.dense_graph_attention(g, q, k, v, **kw, **drop)
         raise ValueError(f"method {method!r} invalid for DenseBatch")
-    if isinstance(g, BucketedGraph):
+    if isinstance(g, (BucketedGraph, BlockedBucketedGraph)):
         if method in ("auto", "bucket"):
             return _bucket.bucket_graph_attention(g, q, k, v, **kw)
-        raise ValueError(f"method {method!r} invalid for BucketedGraph")
+        raise ValueError(f"method {method!r} invalid for {type(g).__name__}")
     from dfgnn_tpu.parallel.partition import EdgePartitionedGraph
 
     if isinstance(g, EdgePartitionedGraph):

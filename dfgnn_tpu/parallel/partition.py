@@ -10,11 +10,13 @@ sequence parallelism: destination-partitioning == "each chip owns a slice
 of query rows", all-gather of sources == "KV all-gather".
 
 SPMD requires identical shapes per device, so partitions are built with a
-*harmonized* bucket structure: same widths list and same padded row counts
-on every device (``formats.bucket_rows_numpy(row_pad_to=...)``).
+*harmonized* layout: same widths list, same padded row counts per bucket
+(``formats.bucket_rows_numpy(row_pad_to=...)``) and, for super-wide rows,
+same padded segment counts (``segment_rows_numpy(s_pad_to=...)``).
 
-Autodiff works end-to-end: the transpose of ``all_gather`` is
-``psum_scatter``, inserted by JAX.
+Autodiff works end-to-end.  By default it goes through XLA (the transpose
+of ``all_gather`` is ``psum_scatter``); ``with_transpose=True`` switches
+training to the fused distributed custom backward (see ``_dist_fused``).
 """
 
 from __future__ import annotations
@@ -28,7 +30,10 @@ import numpy as np
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dfgnn_tpu.formats import Bucket, BucketedGraph, bucket_rows_numpy
+from dfgnn_tpu.formats import (
+    Bucket, BucketedGraph, SegmentBucket, _width_ladder, bucket_rows_numpy,
+    segment_rows_numpy,
+)
 from dfgnn_tpu.graph import Graph, _round_up
 from dfgnn_tpu.ops.bucket import bucket_graph_attention
 
@@ -50,6 +55,9 @@ class EdgePartitionedGraph:
     mesh: Optional[Mesh] = struct.field(pytree_node=False, default=None)
     axis: str = struct.field(pytree_node=False, default="data")
     halo: Optional["HaloExchange"] = None
+    # Fixed-width segments of super-wide rows, stacked on the device axis
+    # (shape-harmonized across devices); see formats.SegmentBucket.
+    segments: Optional[SegmentBucket] = None
     # Source-partitioned transpose (same row blocks): enables the fused
     # distributed custom backward (CSC-direction dK/dV), the multi-chip
     # analog of the reference's CSC arrays (fused_gtconv_backward.cu:41-70).
@@ -100,17 +108,16 @@ def partition_graph(
     cols = np.asarray(g.cols)
     val = None if g.val is None else np.asarray(g.val)
 
-    # widths shared across devices
+    # widths shared across devices; rows wider than split_width go to the
+    # fixed-width segment layout (harmonized below)
     deg = indptr[1:] - indptr[:-1]
     max_deg = int(deg.max()) if n else 0
+    split_width = 256
+    use_segments = widths is None and max_deg > split_width
     if widths is None:
-        widths = []
-        w = min_width
-        while True:
-            widths.append(w)
-            if w >= max_deg:
-                break
-            w *= 2
+        widths = _width_ladder(
+            min_width, min(max_deg, split_width) if use_segments else max_deg
+        )
 
     # first pass: per-device bucket row counts -> harmonized r_pad
     per_dev = []
@@ -202,6 +209,39 @@ def partition_graph(
                 row_chunk=b0.row_chunk,
             )
         )
+    segments = None
+    if use_segments:
+        # harmonize segment/row pads across devices, then stack
+        chunk = max(8, (1 << 15) // split_width)
+        sels, S_max, R_max = [], 0, 0
+        for ip, _, _ in per_dev:
+            dg = ip[1:] - ip[:-1]
+            sel = np.nonzero(dg > split_width)[0]
+            sels.append(sel)
+            R_max = max(R_max, sel.size)
+            S_max = max(S_max, int((-(-dg[sel] // split_width)).sum()))
+        if R_max:
+            s_pad = _round_up(max(S_max, 1), chunk)
+            per_seg = [
+                segment_rows_numpy(
+                    ip, cs, vs, sel,
+                    width=split_width, n_rows_space=n_local,
+                    n_cols_space=n_cols_space,
+                    s_pad_to=s_pad, r_pad_to=R_max,
+                )
+                for (ip, cs, vs), sel in zip(per_dev, sels)
+            ]
+            st = lambda f: np.stack([np.asarray(f(s)) for s in per_seg])
+            segments = SegmentBucket(
+                nbr=st(lambda s: s.nbr), emask=st(lambda s: s.emask),
+                seg_id=st(lambda s: s.seg_id), seg_dst=st(lambda s: s.seg_dst),
+                wide_rows=st(lambda s: s.wide_rows),
+                val=None if per_seg[0].val is None else st(lambda s: s.val),
+                width=split_width, n_rows=R_max,
+                n_segments=max(s.n_segments for s in per_seg),
+                row_chunk=chunk,
+            )
+
     transpose = None
     if with_transpose:
         e = g.n_edges
@@ -222,6 +262,7 @@ def partition_graph(
         mesh=mesh,
         axis=axis,
         halo=halo_plan,
+        segments=segments,
         transpose=transpose,
     )
 
@@ -233,10 +274,20 @@ def _pad_nodes(x, n_pad):
     return jnp.pad(x, pad)
 
 
-def _local_bg(pg: EdgePartitionedGraph, buckets) -> BucketedGraph:
-    """This shard's bucket slice as a local BucketedGraph."""
-    local = jax.tree.map(lambda x: x[0], buckets)
-    return BucketedGraph(buckets=local, n_nodes=pg.n_local, n_edges=pg.n_edges)
+def _layout(pg: EdgePartitionedGraph):
+    """The per-device arrays that ride through shard_map as one pytree."""
+    return (pg.buckets, pg.segments)
+
+
+def _local_bg(pg: EdgePartitionedGraph, layout) -> BucketedGraph:
+    """This shard's layout slice as a local BucketedGraph."""
+    buckets, segments = layout
+    local_b = jax.tree.map(lambda x: x[0], buckets)
+    local_s = None if segments is None else jax.tree.map(lambda x: x[0], segments)
+    return BucketedGraph(
+        buckets=local_b, n_nodes=pg.n_local, n_edges=pg.n_edges,
+        segments=local_s,
+    )
 
 
 def _make_exchange(pg: EdgePartitionedGraph, send_local, axis: str):
@@ -294,7 +345,7 @@ def dist_graph_attention(
     e_col = _pad_nodes(e_col, n_pad)
 
     node_spec = P(axis)
-    bucket_spec = jax.tree.map(lambda _: P(axis), pg.buckets)
+    bucket_spec = jax.tree.map(lambda _: P(axis), _layout(pg))
 
     if score == "dot":
         operands = (q, k, v)
@@ -309,8 +360,8 @@ def dist_graph_attention(
         out = _dist_fused((score, negative_slope, axis), pg, a, b_, operands[2])
         return out[: pg.n_nodes]
 
-    def body(buckets, send_local, *ops):
-        bg = _local_bg(pg, buckets)
+    def body(layout, send_local, *ops):
+        bg = _local_bg(pg, layout)
         exchange = _make_exchange(pg, send_local, axis)
         if score == "dot":
             q_l, k_l, v_l = ops
@@ -332,7 +383,7 @@ def dist_graph_attention(
         out_specs=node_spec,
         check_vma=False,
     )
-    out = fn(pg.buckets, _send_arg(pg), *operands)
+    out = fn(_layout(pg), _send_arg(pg), *operands)
     return out[: pg.n_nodes]
 
 
@@ -352,10 +403,10 @@ def _dist_forward_lse(meta, pg, a, b_, v):
 
     score, slope, axis = meta
     node_spec = P(axis)
-    bucket_spec = jax.tree.map(lambda _: P(axis), pg.buckets)
+    bucket_spec = jax.tree.map(lambda _: P(axis), _layout(pg))
 
-    def body(buckets, send_local, a_l, b_l, v_l):
-        bg = _local_bg(pg, buckets)
+    def body(layout, send_local, a_l, b_l, v_l):
+        bg = _local_bg(pg, layout)
         exchange = _make_exchange(pg, send_local, axis)
         if score == "dot":
             return _bk._forward(bg, a_l, exchange(b_l), exchange(v_l),
@@ -369,7 +420,7 @@ def _dist_forward_lse(meta, pg, a, b_, v):
         out_specs=(node_spec, node_spec),
         check_vma=False,
     )
-    return fn(pg.buckets, _send_arg(pg), a, b_, v)
+    return fn(_layout(pg), _send_arg(pg), a, b_, v)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -391,13 +442,13 @@ def _dist_fused_bwd(meta, res, do):
     pgT = pg.transpose
     h, f = v.shape[1], v.shape[2]
     node_spec = P(axis)
-    bucket_spec = jax.tree.map(lambda _: P(axis), pg.buckets)
-    bucketT_spec = jax.tree.map(lambda _: P(axis), pgT.buckets)
+    bucket_spec = jax.tree.map(lambda _: P(axis), _layout(pg))
+    bucketT_spec = jax.tree.map(lambda _: P(axis), _layout(pgT))
 
-    def body(buckets, bucketsT, send_local, send_localT,
+    def body(layout, layoutT, send_local, send_localT,
              a_l, b_l, v_l, do_l, out_l, lse_l):
-        bg = _local_bg(pg, buckets)
-        bgT = _local_bg(pgT, bucketsT)
+        bg = _local_bg(pg, layout)
+        bgT = _local_bg(pgT, layoutT)
         exchange = _make_exchange(pg, send_local, axis)
         exchangeT = _make_exchange(pgT, send_localT, axis)
         do32 = do_l.astype(jnp.float32)
@@ -439,7 +490,7 @@ def _dist_fused_bwd(meta, res, do):
         out_specs=(node_spec, node_spec, node_spec),
         check_vma=False,
     )
-    da, db, dv = fn(pg.buckets, pgT.buckets, _send_arg(pg), _send_arg(pgT),
+    da, db, dv = fn(_layout(pg), _layout(pgT), _send_arg(pg), _send_arg(pgT),
                     a, b_, v, do, out, lse)
     return (_zero_tangents_pg(pg), da.astype(a.dtype), db.astype(b_.dtype),
             dv.astype(v.dtype))

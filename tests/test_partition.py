@@ -170,6 +170,33 @@ def test_dist_custom_backward_add(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
+def test_dist_segments_super_node(rng):
+    """Partitioned layouts split super-wide rows into harmonized fixed-width
+    segments (per-device shapes identical); fw + fused backward match."""
+    n, h, f, n_dev = 400, 1, 8, 4
+    g = make_graph(rng, n, 4, super_node_deg=300)
+    pg = partition_graph(g, n_dev, halo=True, with_transpose=True)
+    assert pg.segments is not None
+    mesh = make_mesh(n_dev)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32)) for _ in range(3)
+    )
+    t = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dist_graph_attention(pg, mesh, q, k, v)),
+        np.asarray(graph_attention_reference(g, q, k, v)),
+        rtol=1e-3, atol=1e-5,
+    )
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(graph_attention_reference(g, q, k, v) * t), (0, 1, 2)
+    )(q, k, v)
+    g_dist = jax.grad(
+        lambda q, k, v: jnp.sum(dist_graph_attention(pg, mesh, q, k, v) * t), (0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(g_dist, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
 def test_dist_under_jit_with_shardings(rng):
     """jit end-to-end with node-dim-sharded inputs."""
     from jax.sharding import NamedSharding, PartitionSpec as P

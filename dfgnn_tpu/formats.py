@@ -193,7 +193,10 @@ def bucket_rows_numpy(
         sel = np.nonzero((deg > lo) & (deg <= w))[0]
         lo = w
         r = sel.size
-        chunk = max(8, edge_chunk // w)
+        # cap the chunk at the (rounded) real row count: tiny buckets must
+        # not round up to a full compute chunk of sentinel rows (padded
+        # rows still cost real gathers)
+        chunk = max(8, min(edge_chunk // w, _round_up(max(r, 1), 8)))
         if row_pad_to is not None:
             r_pad = row_pad_to.get(w, 0)
             if r_pad == 0:
@@ -203,7 +206,8 @@ def bucket_rows_numpy(
             if r == 0:
                 continue
             r_pad = _round_up(r, chunk)
-        assert r_pad % chunk == 0 or r_pad == chunk
+        # r_pad need not be a chunk multiple: runtime chunking
+        # (ops.bucket._chunk_args) pads any remainder itself.
         row_ids = np.full(r_pad, n_rows_space, dtype=np.int32)
         row_ids[:r] = sel
         nbr = np.full((r_pad, w), n_cols_space, dtype=np.int32)
@@ -233,9 +237,14 @@ def bucket_rows_numpy(
     return buckets
 
 
-def _width_ladder(min_width: int, max_w: int) -> list:
+def _width_ladder(min_width: int, max_w: int, cap: bool = False) -> list:
     """~x1.5 geometric width ladder (8, 12, 16, 24, 32, 48, ...): finer than
-    power-of-two so per-row padding waste averages ~17% instead of ~33%."""
+    power-of-two so per-row padding waste averages ~17% instead of ~33%.
+
+    With ``cap=True`` the last rung is trimmed to exactly ``max_w`` so the
+    ladder never overshoots it — required when rows above ``max_w`` go to
+    the segment layout, which must never double-cover a row with an
+    overshooting bucket."""
     widths = []
     w = min_width
     while True:
@@ -246,6 +255,10 @@ def _width_ladder(min_width: int, max_w: int) -> list:
         if w + w // 2 >= max_w:
             break
         w *= 2
+    if cap:
+        widths[-1] = min(widths[-1], max(max_w, min_width))
+        if len(widths) >= 2 and widths[-1] <= widths[-2]:
+            widths.pop()
     return widths
 
 
@@ -317,7 +330,7 @@ def _bucketize(indptr, cols, val, *, n_rows_space, n_cols_space,
     segments = None
     if widths is None:
         if split_width is not None and max_deg > split_width:
-            widths = _width_ladder(min_width, split_width)
+            widths = _width_ladder(min_width, split_width, cap=True)
             sel = np.nonzero(deg > split_width)[0]
             segments = segment_rows_numpy(
                 indptr, cols, val, sel,

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dfgnn_tpu.graph import DenseBatch, Graph
-from dfgnn_tpu.formats import BucketedGraph
+from dfgnn_tpu.formats import BlockedBucketedGraph, BucketedGraph
 from dfgnn_tpu.models.conv import GTConv, GATConv, make_conv
 
 # ogb full_atom_feature_dims — vocab sizes of the 9 categorical atom features
@@ -70,7 +70,7 @@ def graph_pool(g, x: jax.Array, op: str = "sum") -> jax.Array:
             cnt = jnp.maximum(jnp.sum(g.node_mask, axis=1, keepdims=True), 1)
             return s / cnt
         raise ValueError(op)
-    if isinstance(g, (Graph, BucketedGraph)):
+    if isinstance(g, (Graph, BucketedGraph, BlockedBucketedGraph)):
         if g.graph_id is None:
             s = jnp.sum(x, axis=0, keepdims=True)
             return s if op == "sum" else s / x.shape[0]

@@ -492,6 +492,14 @@ def _walk_backward(bg, chunk_fn, out_shapes, h, fs, itemsize):
     return [o[: bg.n_nodes] for o in outs]
 
 
+def _layout_has_val(bg) -> bool:
+    if isinstance(bg, BlockedBucketedGraph):
+        return any(_layout_has_val(b) for b in bg.blocks)
+    return any(b.val is not None for b in bg.buckets) or (
+        bg.segments is not None and bg.segments.val is not None
+    )
+
+
 def _float0_like(x):
     return np.zeros(x.shape, dtype=jax_dtypes.float0)
 
@@ -602,7 +610,11 @@ def bucket_graph_attention(
     """
     if score not in ("dot", "add"):
         raise ValueError(f"unknown score mode {score!r}")
-    if bg.transpose is not None and gather_dtype is None:
+    # The fused custom backward treats edge values as constants (the
+    # reference's fixed A.val); when the layout carries val arrays, fall
+    # back to XLA autodiff so d(val) propagates if differentiated.
+    if (bg.transpose is not None and gather_dtype is None
+            and not _layout_has_val(bg)):
         meta = (score, negative_slope, tile_width)
         if score == "dot":
             return _bucket_fused(meta, bg, q, k, v)

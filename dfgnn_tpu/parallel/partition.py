@@ -92,6 +92,7 @@ def partition_graph(
     axis: str = "data",
     halo: bool = False,
     with_transpose: bool = False,
+    split_width: int = 256,
 ) -> EdgePartitionedGraph:
     """Host-side: split rows into ``n_devices`` contiguous blocks and build
     shape-harmonized per-device buckets.
@@ -112,11 +113,11 @@ def partition_graph(
     # fixed-width segment layout (harmonized below)
     deg = indptr[1:] - indptr[:-1]
     max_deg = int(deg.max()) if n else 0
-    split_width = 256
     use_segments = widths is None and max_deg > split_width
     if widths is None:
         widths = _width_ladder(
-            min_width, min(max_deg, split_width) if use_segments else max_deg
+            min_width, min(max_deg, split_width) if use_segments else max_deg,
+            cap=use_segments,
         )
 
     # first pass: per-device bucket row counts -> harmonized r_pad
@@ -179,7 +180,7 @@ def partition_graph(
             dg = ip[1:] - ip[:-1]
             mx = max(mx, int(((dg > lo) & (dg <= w)).sum()))
         if mx:
-            chunk = max(8, (1 << 15) // w)
+            chunk = max(8, min((1 << 15) // w, _round_up(mx, 8)))
             row_pad_to[w] = _round_up(mx, chunk)
 
     all_buckets = []
@@ -252,6 +253,7 @@ def partition_graph(
         transpose = partition_graph(
             gT, n_devices, min_width=min_width, widths=None,
             mesh=mesh, axis=axis, halo=halo, with_transpose=False,
+            split_width=split_width,
         )
     return EdgePartitionedGraph(
         buckets=tuple(stacked),
@@ -354,8 +356,9 @@ def dist_graph_attention(
     specs = tuple(node_spec for _ in operands)
 
     if pg.transpose is not None:
-        if pg.mesh is None:
-            pg = pg.replace(mesh=mesh)
+        if pg.mesh is not mesh:
+            # the explicitly passed mesh wins (the fused path reads pg.mesh)
+            pg = pg.replace(mesh=mesh, transpose=pg.transpose.replace(mesh=mesh))
         a, b_ = operands[0], operands[1]
         out = _dist_fused((score, negative_slope, axis), pg, a, b_, operands[2])
         return out[: pg.n_nodes]

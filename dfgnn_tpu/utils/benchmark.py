@@ -114,8 +114,10 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
         return min(ts), max(ts) - min(ts)
 
     n_lo = 2
+    resolved = False
     for _attempt in range(6):
-        lo, hi = make(n_lo), make(n_lo + iters)
+        used_iters = iters
+        lo, hi = make(n_lo), make(n_lo + used_iters)
         timed(lo, fresh())  # warm compile
         timed(hi, fresh())
         t_lo, spread_lo = best(lo)
@@ -123,19 +125,20 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
         diff = t_hi - t_lo
         jitter = max(spread_lo, spread_hi, 1e-4)
         if diff > 2.0 * jitter:
+            resolved = True
             break
         iters *= 2
-    else:
+    if not resolved:
         import sys
 
         print(
             f"[benchmark_chained] WARNING: iteration delta never resolved "
             f"above jitter (diff={diff*1e3:.3f}ms, jitter={jitter*1e3:.3f}ms, "
-            f"iters={iters}); result is an upper-noise-bound, not a "
+            f"iters={used_iters}); result is an upper-noise-bound, not a "
             f"measurement",
             file=sys.stderr,
         )
-    return max(diff, 1e-9) / iters * 1e3
+    return max(diff, 1e-9) / used_iters * 1e3
 
 
 def check_correct(a, b, *, rtol: float = 1e-3, atol: float = 1e-5,

@@ -10,7 +10,7 @@ accuracy, and peak device memory (GPUtil analog ->
 
 Usage:
     python scripts/train_gatconv.py --dataset cora --dim 64 --heads 4 \
-        --epochs 20
+        --n-layers 2 --epochs 20 --lr 1e-2
 """
 
 import os
@@ -45,10 +45,10 @@ def main(argv=None):
 
     model = GATNet(
         num_classes=ds.num_classes, hidden_size=args.dim,
-        num_layers=args.n_layers or 2, num_heads=args.heads,
+        num_layers=args.n_layers, num_heads=args.heads,
     )
     params = model.init(jax.random.key(0), bg, x)
-    state = TrainState.create(model, params, lr=1e-2)
+    state = TrainState.create(model, params, lr=args.lr)
     loss_fn = make_loss_fn(model, "node_classification", ds.num_classes)
     import optax
 

@@ -37,7 +37,7 @@ def main():
     layer = make_conv("gt", out_size=DIM, num_heads=HEADS, method="flash")
     params = layer.init(jax.random.key(0), batch, x)
     fused_ms = benchmark_chained(
-        lambda x: layer.apply(params, batch, x), x, iters=20
+        lambda x: layer.apply(params, batch, x), x, iters=60
     )
     fused_eps = batch.n_edges / (fused_ms / 1e3)
 
@@ -46,7 +46,7 @@ def main():
                         dtype=jnp2.bfloat16)
     params16 = layer16.init(jax.random.key(0), batch, x)
     bf16_ms = benchmark_chained(
-        lambda x: layer16.apply(params16, batch, x), x, iters=20
+        lambda x: layer16.apply(params16, batch, x), x, iters=60
     )
 
     # Unfused oracle on a subset (memory: O(E * dim) gathered temporaries),

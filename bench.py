@@ -12,6 +12,7 @@ XLA segment-op oracle (the role DGL-sparse plays for the reference).
 """
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -20,6 +21,10 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+
+    # DFGNN_TPU_PROFILE=1 wraps the headline fused call in a jax.profiler
+    # trace (Perfetto), the reference's --profile bracket analog.
+    profile = os.environ.get("DFGNN_TPU_PROFILE", "") not in ("", "0")
 
     from dfgnn_tpu.data.synthetic import pattern_like_batch
     from dfgnn_tpu.graph import DenseBatch, Graph
@@ -36,6 +41,11 @@ def main():
 
     layer = make_conv("gt", out_size=DIM, num_heads=HEADS, method="flash")
     params = layer.init(jax.random.key(0), batch, x)
+    if profile:
+        from dfgnn_tpu.utils.profiling import profile_region
+
+        with profile_region("bench_flash_batch"):
+            jax.block_until_ready(layer.apply(params, batch, x))
     fused_ms = benchmark_chained(
         lambda x: layer.apply(params, batch, x), x, iters=60
     )

@@ -44,6 +44,12 @@ class Bucket:
     nbr: jax.Array       # [r_pad, width] int32
     emask: jax.Array     # [r_pad, width] bool
     val: Optional[jax.Array] = None   # [r_pad, width] f32
+    # CSR edge index per lane (sentinel e_pad); carried when the layout is
+    # built with with_edge_ids=True — lets fused paths scatter per-edge
+    # artifacts (normalized attention weights) back into edge-list order,
+    # the reference softmax strategy's materialized attn_edge
+    # (DFGNN/src/fused_gtconv/fused_gtconv_softmax.cu:10-54).
+    edge_ids: Optional[jax.Array] = None   # [r_pad, width] int32
     width: int = struct.field(pytree_node=False, default=0)
     n_rows: int = struct.field(pytree_node=False, default=0)  # real rows
     row_chunk: int = struct.field(pytree_node=False, default=0)
@@ -72,6 +78,7 @@ class SegmentBucket:
     seg_dst: jax.Array    # [s_pad] int32 destination node id (pad sentinel)
     wide_rows: jax.Array  # [n_rows] int32 destination node per compact row
     val: Optional[jax.Array] = None   # [s_pad, width] f32
+    edge_ids: Optional[jax.Array] = None   # [s_pad, width] int32 (see Bucket)
     width: int = struct.field(pytree_node=False, default=0)
     n_rows: int = struct.field(pytree_node=False, default=0)
     n_segments: int = struct.field(pytree_node=False, default=0)  # real
@@ -92,6 +99,9 @@ class BucketedGraph:
     # (the role of the reference's CSC + val_idx arrays,
     # ``DFGNN/layers/util.py:116-142``).
     transpose: Optional["BucketedGraph"] = None
+    # Padded edge-array size of the source Graph; > 0 iff the layout was
+    # built with with_edge_ids=True (return_weights support).
+    e_pad: int = struct.field(pytree_node=False, default=0)
 
     def device_put(self, sharding=None) -> "BucketedGraph":
         from dfgnn_tpu.graph import device_put
@@ -131,6 +141,7 @@ class BlockedBucketedGraph:
     graph_id: Optional[jax.Array] = None
     n_graphs: int = struct.field(pytree_node=False, default=1)
     transpose: Optional["BlockedBucketedGraph"] = None
+    e_pad: int = struct.field(pytree_node=False, default=0)
 
     def device_put(self, sharding=None) -> "BlockedBucketedGraph":
         from dfgnn_tpu.graph import device_put
@@ -165,6 +176,7 @@ def bucket_rows_numpy(
     edge_chunk: int = _EDGE_CHUNK,
     widths: Optional[Sequence[int]] = None,
     row_pad_to: Optional[dict] = None,
+    edge_index_map: Optional[np.ndarray] = None,
 ):
     """Host-side core of :func:`build_buckets` over raw CSR arrays.
 
@@ -172,7 +184,12 @@ def bucket_rows_numpy(
     row-id and neighbor-id spaces (they differ for edge-partitioned graphs,
     where rows are device-local and neighbors are global).  ``row_pad_to``
     optionally forces ``{width: r_pad}`` so multiple partitions produce
-    identical shapes (SPMD requirement).  Returns a list of Buckets.
+    identical shapes (SPMD requirement).  ``edge_index_map`` (when given)
+    turns on per-lane edge ids: a ``(vals, sentinel)`` pair where lane
+    (i, j) records ``vals[local_csr_edge]`` (``vals=None`` = identity =
+    CSR edge order) and padded lanes carry ``sentinel`` (callers pass a
+    value >= the scatter target size so mode="drop" discards them).
+    Returns a list of Buckets.
     """
     deg = indptr[1:] - indptr[:-1]
     n_r = len(deg)
@@ -223,12 +240,25 @@ def bucket_rows_numpy(
                 emask[i, :d] = True
                 if bval is not None:
                     bval[i, :d] = val[s:e]
+        beid = None
+        if edge_index_map is not None:
+            evals, esent = edge_index_map
+            beid = np.full((r_pad, w), esent, dtype=np.int32)
+            if r > 0:
+                deg_sel = (indptr[sel + 1] - indptr[sel]).astype(np.int64)
+                er = np.repeat(np.arange(r), deg_sel)
+                within = np.arange(int(deg_sel.sum())) - np.repeat(
+                    np.cumsum(deg_sel) - deg_sel, deg_sel)
+                local = np.repeat(indptr[sel], deg_sel) + within
+                beid[er, within] = (local if evals is None
+                                    else evals[local]).astype(np.int32)
         buckets.append(
             Bucket(
                 row_ids=row_ids,
                 nbr=nbr,
                 emask=emask,
                 val=bval,
+                edge_ids=beid,
                 width=int(w),
                 n_rows=int(r),
                 row_chunk=int(chunk),
@@ -274,6 +304,7 @@ def segment_rows_numpy(
     edge_chunk: int = _EDGE_CHUNK,
     s_pad_to: Optional[int] = None,
     r_pad_to: Optional[int] = None,
+    edge_index_map=None,
 ) -> Optional[SegmentBucket]:
     """Lay the rows in ``sel`` out as fixed-``width`` edge segments.
 
@@ -313,17 +344,24 @@ def segment_rows_numpy(
     if val is not None:
         bval = np.zeros((s_pad, width), dtype=np.float32)
         bval[seg_of_edge, lane] = val[edge_idx]
+    seid = None
+    if edge_index_map is not None:
+        evals, esent = edge_index_map
+        seid = np.full((s_pad, width), esent, dtype=np.int32)
+        seid[seg_of_edge, lane] = (
+            edge_idx if evals is None else evals[edge_idx]).astype(np.int32)
     wide_rows = np.full(R_pad, n_rows_space, dtype=np.int32)
     wide_rows[:R] = sel
     return SegmentBucket(
         nbr=nbr, emask=emask, seg_id=seg_id, seg_dst=seg_dst,
-        wide_rows=wide_rows, val=bval,
+        wide_rows=wide_rows, val=bval, edge_ids=seid,
         width=int(width), n_rows=R, n_segments=S, row_chunk=int(chunk),
     )
 
 
 def _bucketize(indptr, cols, val, *, n_rows_space, n_cols_space,
-               min_width, edge_chunk, widths, split_width):
+               min_width, edge_chunk, widths, split_width,
+               edge_index_map=None):
     """Shared core: ladder buckets + segment split over raw CSR arrays."""
     deg = indptr[1:] - indptr[:-1]
     max_deg = int(deg.max()) if len(deg) else 0
@@ -336,6 +374,7 @@ def _bucketize(indptr, cols, val, *, n_rows_space, n_cols_space,
                 indptr, cols, val, sel,
                 width=split_width, n_rows_space=n_rows_space,
                 n_cols_space=n_cols_space, edge_chunk=edge_chunk,
+                edge_index_map=edge_index_map,
             )
         else:
             widths = _width_ladder(min_width, max_deg)
@@ -346,6 +385,7 @@ def _bucketize(indptr, cols, val, *, n_rows_space, n_cols_space,
         min_width=min_width,
         edge_chunk=edge_chunk,
         widths=widths,
+        edge_index_map=edge_index_map,
     )
     return tuple(buckets), segments
 
@@ -353,6 +393,7 @@ def _bucketize(indptr, cols, val, *, n_rows_space, n_cols_space,
 def _build_blocked(
     g: Graph, block_rows: int, *,
     min_width, edge_chunk, widths, split_width, with_transpose,
+    with_edge_ids=False,
 ) -> "BlockedBucketedGraph":
     n = g.n_nodes
     e = g.n_edges
@@ -368,13 +409,17 @@ def _build_blocked(
         rb = rows[m]                      # still row-sorted
         cb = (cols[m] - lo).astype(np.int64)
         vb = None if val is None else val[m]
+        eim = None
+        if with_edge_ids:
+            # block-local CSR edge j is original edge orig[j]
+            eim = (np.nonzero(m)[0].astype(np.int64), g.e_pad)
         ip = np.zeros(n + 1, np.int64)
         np.add.at(ip, rb + 1, 1)
         ip = np.cumsum(ip)
         bks, segs = _bucketize(
             ip, cb, vb, n_rows_space=n, n_cols_space=block_rows,
             min_width=min_width, edge_chunk=edge_chunk,
-            widths=widths, split_width=split_width,
+            widths=widths, split_width=split_width, edge_index_map=eim,
         )
         blocks.append(BucketedGraph(
             buckets=bks, n_nodes=n, n_edges=int(rb.size), segments=segs,
@@ -390,7 +435,7 @@ def _build_blocked(
     return BlockedBucketedGraph(
         blocks=tuple(blocks), block_rows=int(block_rows),
         n_nodes=n, n_edges=e, graph_id=g.graph_id, n_graphs=g.n_graphs,
-        transpose=transpose,
+        transpose=transpose, e_pad=g.e_pad if with_edge_ids else 0,
     )
 
 
@@ -402,6 +447,7 @@ def build_buckets(
     widths: Optional[Sequence[int]] = None,
     split_width: Optional[int] = 256,
     with_transpose: bool = False,
+    with_edge_ids: bool = False,
     src_block_rows="auto",
 ) -> BucketedGraph:
     """Host-side: split rows into degree buckets (padded neighbor lists) and
@@ -435,7 +481,7 @@ def build_buckets(
         return _build_blocked(
             g, int(src_block_rows), min_width=min_width,
             edge_chunk=edge_chunk, widths=widths, split_width=split_width,
-            with_transpose=with_transpose,
+            with_transpose=with_transpose, with_edge_ids=with_edge_ids,
         )
     indptr = np.asarray(g.indptr, dtype=np.int64)
     cols = np.asarray(g.cols)
@@ -445,6 +491,7 @@ def build_buckets(
         indptr, cols, val, n_rows_space=n, n_cols_space=n,
         min_width=min_width, edge_chunk=edge_chunk,
         widths=widths, split_width=split_width,
+        edge_index_map=(None, g.e_pad) if with_edge_ids else None,
     )
     transpose = None
     if with_transpose:
@@ -466,6 +513,7 @@ def build_buckets(
         n_graphs=g.n_graphs,
         segments=segments,
         transpose=transpose,
+        e_pad=g.e_pad if with_edge_ids else 0,
     )
 
 
@@ -478,6 +526,12 @@ def preprocess(fmt: str, g: Graph, **kw):
     if fmt in ("reference", "pyg", "csr", "softmax", "hyper_coo"):
         return g
     if fmt in ("bucketed", "tiling", "csr_gm", "softmax_gm"):
+        return build_buckets(g, **kw)
+    if fmt in ("two_phase", "softmax_fused"):
+        # materialized-score layout: fused paths can scatter normalized
+        # attention weights back to edge order (reference softmax strategy,
+        # fused_gtconv_softmax.cu:10-54)
+        kw.setdefault("with_edge_ids", True)
         return build_buckets(g, **kw)
     if fmt in ("bucketed_train", "hyper_fw_bw"):
         # training layout with transpose (ref: preprocess_Hyper_fw_bw,

@@ -160,21 +160,25 @@ class GATNet(nn.Module):
     num_layers: int = 2
     num_heads: int = 4
     negative_slope: float = 0.2
+    dropout: float = 0.0
     method: str = "auto"
 
     @nn.compact
-    def __call__(self, g, x, impl: Optional[str] = None):
+    def __call__(self, g, x, impl: Optional[str] = None,
+                 deterministic: bool = True):
         h = x
         for i in range(self.num_layers - 1):
             h = GATConv(
                 self.hidden_size,
                 self.num_heads,
                 negative_slope=self.negative_slope,
+                dropout=self.dropout,
                 method=self.method,
                 name=f"layer_{i}",
-            )(g, h, impl=impl)
+            )(g, h, impl=impl, deterministic=deterministic)
             h = nn.elu(h)
-        out = GATConv(self.num_classes, 1, method=self.method, name="out_layer")(
-            g, h, impl=impl
-        )
+        out = GATConv(
+            self.num_classes, 1, dropout=self.dropout, method=self.method,
+            name="out_layer",
+        )(g, h, impl=impl, deterministic=deterministic)
         return nn.log_softmax(out)

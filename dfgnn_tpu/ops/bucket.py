@@ -49,6 +49,7 @@ from jax import dtypes as jax_dtypes
 from dfgnn_tpu.formats import (
     BlockedBucketedGraph, Bucket, BucketedGraph, SegmentBucket,
 )
+from dfgnn_tpu.ops.edge_dropout import keep_scale, seed_from_key
 
 _NEG_BIG = -1e30
 _DEAD = 0.5 * _NEG_BIG  # rows with lse below this have no edges
@@ -61,20 +62,41 @@ _DEAD = 0.5 * _NEG_BIG  # rows with lse below this have no edges
 _GATHER_BUDGET_BYTES = 16 * 1024 * 1024
 
 
-def _scores_from_parts(q_c, k_n, er_c, ec_n, emask, val, score, negative_slope):
-    """Masked scores [C, h, W] from per-chunk operands."""
-    if score == "dot":
-        s = jnp.einsum("chf,cwhf->chw", q_c, k_n)
-    else:
-        s = er_c[:, :, None] + ec_n.transpose(0, 2, 1)
-        s = jax.nn.leaky_relu(s, negative_slope=negative_slope)
-    if val is not None:
-        s = s * val[:, None, :]
-    return jnp.where(emask[:, None, :], s, _NEG_BIG)
+def _keep_scale_chw(drop, dst, src, h):
+    """Per-(row, head, lane) dropout keep/(1-p) factor [C, h, W].
+
+    ``drop = (seed, rate, col_base)``; ``col_base`` rebases block-local
+    neighbor ids to global so the mask agrees across blocked layouts and
+    the CSR/CSC backward directions (reference semantics: one curand draw
+    per (edge, head), ``fused_gatconv_kernel.cu:101-110``).  ``dst`` is the
+    per-row id array [C]; ``src`` the per-lane id array [C, W]."""
+    seed, rate, col_base = drop
+    head = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
+    return keep_scale(seed, dst[:, None, None], src[:, None, :] + col_base,
+                      head, rate)
+
+
+def _keep_scale_chw_T(drop, src, dst, h):
+    """Transposed orientation (rows = sources, lanes = destinations); the
+    block rebase ``col_base`` applies to the lane side in both layouts."""
+    seed, rate, col_base = drop
+    head = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
+    return keep_scale(seed, dst[:, None, :] + col_base, src[:, None, None],
+                      head, rate)
 
 
 def _take_src(src, flat, C, W):
-    """One combined gather of all source-side operands for a chunk."""
+    """Row gather of one source-side table for a chunk -> [C, W, h, fs].
+
+    CRITICAL single-consumer rule (measured on TPU v5e): XLA fuses a row
+    gather into exactly ONE consumer (elementwise chain ending in a
+    reduce/dot); a second consumer forces the gathered [C, W, h, f] tensor
+    to materialise through HBM at ~2.4x the fused cost (9.6 vs 3.7
+    ns/padded-edge at 1KB rows).  Every call site therefore gathers each
+    feature table separately per consuming contraction — never pack two
+    operands into one gathered row, never feed one gather to two einsums.
+    Per-edge SCALAR tensors ([C, h, W]) are exempt: materialising 4B/edge
+    is noise."""
     fs = src.shape[-1]
     h = src.shape[1]
     out = jnp.take(src, flat, axis=0, mode="clip").reshape(C, W, h, fs)
@@ -85,17 +107,51 @@ def _take_rows(x, row_ids):
     return None if x is None else jnp.take(x, row_ids, axis=0, mode="clip")
 
 
-def _split_src(src_n, score, f):
+def _nocse(idx):
+    """Barrier an index array so two gathers of the same (table, indices)
+    pair are NOT common-subexpression-eliminated back into one gather with
+    two consumers (which would re-trigger the materialisation penalty)."""
+    return jax.lax.optimization_barrier(idx)
+
+
+def _chunk_scores(tabs, q_c, er_c, flat, C, W, emask, val, score,
+                  negative_slope):
+    """Masked scores [C, h, W] for one chunk; gathers the score-side table
+    (k for dot, e_col for add) fused into this single contraction."""
+    st, _ = tabs
     if score == "dot":
-        return src_n[..., :f], src_n[..., f:], None       # k_n, v_n
-    return None, src_n[..., :f], src_n[..., f]            # v_n, ec_n [C,W,h]
+        k_n = _take_src(st, flat, C, W)
+        s = jnp.einsum("chf,cwhf->chw", q_c, k_n)
+    else:
+        ec_n = jnp.take(st, flat, axis=0, mode="clip").reshape(C, W, -1)
+        s = er_c[:, :, None] + ec_n.transpose(0, 2, 1).astype(jnp.float32)
+        s = jax.nn.leaky_relu(s, negative_slope=negative_slope)
+    if val is not None:
+        s = s * val[:, None, :]
+    return jnp.where(emask[:, None, :], s, _NEG_BIG)
 
 
-def _pick_chunk(r_pad: int, W: int, h: int, fs: int, itemsize: int) -> int:
-    """Rows per chunk so one chunk's gathered tensor meets the byte budget
+def _chunk_aggregate(tabs, w, flat, C, W, f):
+    """out [C, h, f] = sum_w w * v_gathered; the v gather fuses into this
+    single contraction."""
+    _, vt = tabs
+    v_n = _take_src(vt, flat, C, W)
+    return jnp.einsum("chw,cwhf->chf", w, v_n)
+
+
+def _pick_chunk(r_pad: int, W: int, row_bytes: int) -> int:
+    """Rows per chunk so one chunk's gathered working set (sum of all
+    per-edge gathered row bytes in the chunk fn) meets the byte budget
     (VMEM-scale; see module docstring)."""
-    desired = max(8, _GATHER_BUDGET_BYTES // max(W * h * fs * itemsize, 1))
+    desired = max(8, _GATHER_BUDGET_BYTES // max(W * row_bytes, 1))
     return min(r_pad, desired)
+
+
+def _tabs_row_bytes(tabs) -> int:
+    """Combined gathered bytes per edge across a chunk fn's tables."""
+    return sum(
+        int(np.prod(t.shape[1:])) * t.dtype.itemsize for t in tabs
+    )
 
 
 def _chunk_args(arrays, r_pad: int, chunk: int, fills):
@@ -131,32 +187,43 @@ def _map_chunks(fn, chunked, n_chunks):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _direct_chunk(args, q, e_row, src, f, score, negative_slope):
-    """One row-chunk, neighborhood fully materialised (width <= tile).
+def _direct_chunk(args, q, e_row, tabs, f, score, negative_slope, drop=None,
+                  want_s=False):
+    """One row-chunk, neighborhood width <= tile.  Two fused-gather passes:
+    score-side table into the SDDMM contraction, v into the aggregation
+    (never one packed gather with two consumers — see ``_take_src``).
     Returns (out [C,h,f], lse [C,h])."""
     row_ids, nbr, emask, val = args
     C, W = nbr.shape
-    src_n = _take_src(src, nbr.reshape(-1), C, W)
-    k_n, v_n, ec_n = _split_src(src_n, score, f)
+    h = tabs[1].shape[1]
+    flat = nbr.reshape(-1)
     q_c = _take_rows(q, row_ids)
     er_c = _take_rows(e_row, row_ids)
-    s = _scores_from_parts(q_c, k_n, er_c, ec_n, emask, val, score, negative_slope)
+    s = _chunk_scores(tabs, q_c, er_c, flat, C, W, emask, val, score,
+                      negative_slope)
     m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), _NEG_BIG)
     ex = jnp.where(emask[:, None, :], jnp.exp(s - m), 0.0)
     den = jnp.sum(ex, axis=-1, keepdims=True)
     w = jnp.where(den > 0, ex / jnp.where(den > 0, den, 1.0), 0.0)
-    out = jnp.einsum("chw,cwhf->chf", w, v_n)
+    if drop is not None:
+        # numerator-only masking: denominator stays unmasked (dropout acts
+        # on the NORMALISED weights, reference semantics)
+        w = w * _keep_scale_chw(drop, row_ids, nbr, h)
+    out = _chunk_aggregate(tabs, w, _nocse(nbr).reshape(-1), C, W, f)
     lse = jnp.where(den > 0, m + jnp.log(jnp.where(den > 0, den, 1.0)), _NEG_BIG)
+    if want_s:
+        return out, lse[..., 0], s
     return out, lse[..., 0]
 
 
-def _tiled_chunk(args, q, e_row, src, f, score, negative_slope, tile_width):
+def _tiled_chunk(args, q, e_row, tabs, f, score, negative_slope, tile_width,
+                 drop=None):
     """One row-chunk of a super-wide bucket: stream neighbor tiles with
     online-softmax rescaling (reference tiling algebra,
     ``fused_gtconv_tiling.cu:72-86``)."""
     row_ids, nbr, emask, val = args
     C, W = nbr.shape
-    h = src.shape[1]
+    h = tabs[1].shape[1]
     n_tiles = W // tile_width
     q_c = _take_rows(q, row_ids)
     er_c = _take_rows(e_row, row_ids)
@@ -166,14 +233,15 @@ def _tiled_chunk(args, q, e_row, src, f, score, negative_slope, tile_width):
         sl = jax.lax.dynamic_slice_in_dim(nbr, t * tile_width, tile_width, axis=1)
         msl = jax.lax.dynamic_slice_in_dim(emask, t * tile_width, tile_width, axis=1)
         vsl = None if val is None else jax.lax.dynamic_slice_in_dim(val, t * tile_width, tile_width, axis=1)
-        src_n = _take_src(src, sl.reshape(-1), C, tile_width)
-        k_n, v_n, ec_n = _split_src(src_n, score, f)
-        s = _scores_from_parts(q_c, k_n, er_c, ec_n, msl, vsl, score, negative_slope)
+        s = _chunk_scores(tabs, q_c, er_c, sl.reshape(-1), C, tile_width,
+                          msl, vsl, score, negative_slope)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         scale = jnp.exp(m - m_new)
         ex = jnp.where(msl[:, None, :], jnp.exp(s - m_new), 0.0)
         l_new = l * scale + jnp.sum(ex, axis=-1, keepdims=True)
-        acc_new = acc * scale + jnp.einsum("chw,cwhf->chf", ex, v_n)
+        exn = ex if drop is None else ex * _keep_scale_chw(drop, row_ids, sl, h)
+        acc_new = acc * scale + _chunk_aggregate(
+            tabs, exn, _nocse(sl).reshape(-1), C, tile_width, f)
         return (m_new, l_new, acc_new), None
 
     # carries are fp32 regardless of gather_dtype (accumulation stays fp32)
@@ -188,29 +256,33 @@ def _tiled_chunk(args, q, e_row, src, f, score, negative_slope, tile_width):
     return out, lse[..., 0]
 
 
-def _segment_partials(args, q, e_row, src, f, score, negative_slope):
+def _segment_partials(args, q, e_row, tabs, f, score, negative_slope,
+                      drop=None, want_s=False):
     """Per-segment partial softmax state (m, l, acc) for one chunk of
     fixed-width segments (the online-softmax block state of the reference's
     tiling kernel, ``fused_gtconv_tiling.cu:72-86``, one tile per segment)."""
     seg_dst, nbr, emask, val = args
     C, W = nbr.shape
-    src_n = _take_src(src, nbr.reshape(-1), C, W)
-    k_n, v_n, ec_n = _split_src(src_n, score, f)
+    h = tabs[1].shape[1]
     q_c = _take_rows(q, seg_dst)
     er_c = _take_rows(e_row, seg_dst)
-    s = _scores_from_parts(q_c, k_n, er_c, ec_n, emask, val, score, negative_slope)
+    s = _chunk_scores(tabs, q_c, er_c, nbr.reshape(-1), C, W, emask, val,
+                      score, negative_slope)
     m = jnp.max(s, axis=-1)                                   # [C, h]
     ex = jnp.where(emask[:, None, :], jnp.exp(s - m[..., None]), 0.0)
     l = jnp.sum(ex, axis=-1)                                  # [C, h]
-    acc = jnp.einsum("chw,cwhf->chf", ex, v_n)                # [C, h, f]
+    exn = ex if drop is None else ex * _keep_scale_chw(drop, seg_dst, nbr, h)
+    acc = _chunk_aggregate(tabs, exn, _nocse(nbr).reshape(-1), C, W, f)
+    if want_s:
+        return m, l, acc, s
     return m, l, acc
 
 
-def _run_bucket(b: Bucket, chunk_fn, src_itemsize, h, fs, fills=None):
+def _run_bucket(b: Bucket, chunk_fn, row_bytes, fills=None):
     """Chunk one bucket's row arrays and map ``chunk_fn`` over them.
     Returns (row_ids_padded, results tuple flattened over rows)."""
     r_pad, W = b.nbr.shape
-    chunk = _pick_chunk(r_pad, W, h, fs, src_itemsize)
+    chunk = _pick_chunk(r_pad, W, row_bytes)
     arrays = (b.row_ids, b.nbr, b.emask, b.val)
     if fills is None:
         fills = (None, None, False, 0.0)
@@ -220,10 +292,10 @@ def _run_bucket(b: Bucket, chunk_fn, src_itemsize, h, fs, fills=None):
     return row_ids, res
 
 
-def _run_segments(sb: SegmentBucket, chunk_fn, src_itemsize, h, fs):
+def _run_segments(sb: SegmentBucket, chunk_fn, row_bytes):
     """Map ``chunk_fn`` over segment chunks; returns per-segment results."""
     s_pad, W = sb.nbr.shape
-    chunk = _pick_chunk(s_pad, W, h, fs, src_itemsize)
+    chunk = _pick_chunk(s_pad, W, row_bytes)
     chunk = min(chunk, s_pad)
     if s_pad % chunk != 0:
         chunk = sb.row_chunk
@@ -240,52 +312,108 @@ def _segsum(x, seg_id, bins):
                                indices_are_sorted=True)
 
 
-def _pack_src(k, v, e_col, score, gather_dtype):
+def _make_tabs(k, v, e_col, score, gather_dtype):
+    """Separate score-side and value-side gather tables (single-consumer
+    gather discipline, see ``_take_src``): ``(k, v)`` for dot, ``(e_col,
+    v)`` for add."""
     if score == "dot":
-        src = jnp.concatenate([k, v], axis=-1)                 # [N, h, 2f]
+        st = k                       # [N, h, f]
     elif score == "add":
-        src = jnp.concatenate([v, e_col[..., None]], axis=-1)  # [N, h, f+1]
+        st = e_col                   # [N, h]
     else:
         raise ValueError(f"unknown score mode {score!r}")
+    vt = v
     if gather_dtype is not None:
-        src = src.astype(gather_dtype)
-    return src
+        st = st.astype(gather_dtype)
+        vt = vt.astype(gather_dtype)
+    return (st, vt)
 
 
 def _forward(bg, q, k, v, score, e_row, e_col, negative_slope, tile_width,
-             gather_dtype):
+             gather_dtype, drop=None):
     """Fused forward; returns (out [n,h,f], lse [n,h])."""
-    src = _pack_src(k, v, e_col, score, gather_dtype)
-    return _forward_src(bg, q, e_row, src, v.dtype, v.shape[2], score,
-                        negative_slope, tile_width)
+    tabs = _make_tabs(k, v, e_col, score, gather_dtype)
+    return _forward_tabs(bg, q, e_row, tabs, v.dtype, v.shape[2], score,
+                         negative_slope, tile_width, drop=drop)
 
 
-def _forward_src(bg, q, e_row, src, out_dtype, f, score, negative_slope,
-                 tile_width):
-    """Forward over one (possibly source-block-local) packed src table."""
-    h = src.shape[1]
-    fs = src.shape[-1]
+def _scatter_edge_vals(acc, eids_pad, r_pad2, vals, fill):
+    """Scatter per-lane values [r_pad2, h, W] into the edge-ordered
+    accumulator [e_pad + 1, h] via the layout's edge ids (reference's
+    materialized ``attn_edge`` order, ``fused_gtconv_softmax.cu:10-54``)."""
+    eids = eids_pad
+    if eids.shape[0] < r_pad2:
+        eids = jnp.pad(eids, [(0, r_pad2 - eids.shape[0]), (0, 0)],
+                       constant_values=fill)
+    flat = eids.reshape(-1)
+    v = vals.transpose(0, 2, 1).reshape(-1, vals.shape[1])
+    return acc.at[flat].set(v, mode="drop")
+
+
+def _forward_tabs(bg, q, e_row, tabs, out_dtype, f, score, negative_slope,
+                  tile_width, drop=None, weights_acc=None):
+    """Forward over one (possibly source-block-local) pair of gather tables.
+
+    ``weights_acc``: optional (scores[e_pad+1, h], dst[e_pad+1]) edge-order
+    accumulators for return_weights; threaded through blocked layouts
+    (scores are block-invariant, so no cross-block lse correction)."""
+    h = tabs[1].shape[1]
+    row_bytes = _tabs_row_bytes(tabs)
+    want_s = weights_acc is not None
 
     out = jnp.zeros((bg.n_nodes + 1, h, f), dtype=out_dtype)
     lse = jnp.full((bg.n_nodes + 1, h), _NEG_BIG, dtype=jnp.float32)
     for b in bg.buckets:
         W = b.nbr.shape[1]
         if W <= tile_width:
-            fn = lambda a: _direct_chunk(a, q, e_row, src, f, score, negative_slope)
+            fn = lambda a: _direct_chunk(a, q, e_row, tabs, f, score,
+                                         negative_slope, drop, want_s)
         else:
+            if want_s:
+                raise NotImplementedError(
+                    "return_weights with tiled super-wide buckets: build "
+                    "the layout with split_width (segments) instead")
             tw = tile_width if W % tile_width == 0 else W
-            fn = lambda a: _tiled_chunk(a, q, e_row, src, f, score, negative_slope, tw)
-        row_ids, (out_b, lse_b) = _run_bucket(
-            b, fn, src.dtype.itemsize, h, fs,
+            fn = lambda a: _tiled_chunk(a, q, e_row, tabs, f, score, negative_slope, tw, drop)
+        row_ids, res = _run_bucket(
+            b, fn, row_bytes,
             fills=(bg.n_nodes, bg.n_nodes, False, 0.0),
         )
+        out_b, lse_b = res[0], res[1]
         out = out.at[row_ids].set(out_b.astype(out.dtype), mode="drop")
         lse = lse.at[row_ids].set(lse_b, mode="drop")
+        if want_s:
+            sc, dst = weights_acc
+            fill = sc.shape[0] - 1
+            sc = _scatter_edge_vals(sc, b.edge_ids, row_ids.shape[0], res[2],
+                                    fill)
+            dst_lanes = jnp.broadcast_to(row_ids[:, None],
+                                         (row_ids.shape[0], W))
+            eids = b.edge_ids
+            if eids.shape[0] < row_ids.shape[0]:
+                eids = jnp.pad(eids,
+                               [(0, row_ids.shape[0] - eids.shape[0]), (0, 0)],
+                               constant_values=fill)
+            dst = dst.at[eids.reshape(-1)].set(dst_lanes.reshape(-1),
+                                               mode="drop")
+            weights_acc = (sc, dst)
 
     sb = bg.segments
     if sb is not None:
-        fn = lambda a: _segment_partials(a, q, e_row, src, f, score, negative_slope)
-        m_s, l_s, acc_s = _run_segments(sb, fn, src.dtype.itemsize, h, fs)
+        fn = lambda a: _segment_partials(a, q, e_row, tabs, f, score,
+                                         negative_slope, drop, want_s)
+        seg_res = _run_segments(sb, fn, row_bytes)
+        m_s, l_s, acc_s = seg_res[0], seg_res[1], seg_res[2]
+        if want_s:
+            sc, dst = weights_acc
+            fill = sc.shape[0] - 1
+            sc = _scatter_edge_vals(sc, sb.edge_ids, m_s.shape[0], seg_res[3],
+                                    fill)
+            dst_lanes = jnp.broadcast_to(
+                sb.seg_dst[:, None], (sb.seg_dst.shape[0], sb.nbr.shape[1]))
+            dst = dst.at[sb.edge_ids.reshape(-1)].set(dst_lanes.reshape(-1),
+                                                      mode="drop")
+            weights_acc = (sc, dst)
         R = int(sb.wide_rows.shape[0])
         bins = R + 1  # last bin absorbs segment padding
         m_r = jax.ops.segment_max(m_s, sb.seg_id, num_segments=bins,
@@ -300,6 +428,8 @@ def _forward_src(bg, q, e_row, src, out_dtype, f, score, negative_slope,
                           _NEG_BIG)
         out = out.at[sb.wide_rows].set(out_r[:R].astype(out.dtype), mode="drop")
         lse = lse.at[sb.wide_rows].set(lse_r[:R], mode="drop")
+    if want_s:
+        return out[: bg.n_nodes], lse[: bg.n_nodes], weights_acc
     return out[: bg.n_nodes], lse[: bg.n_nodes]
 
 
@@ -323,16 +453,17 @@ def _pad_rows(x, n_pad):
     return jnp.pad(x, cfg)
 
 
-def _iter_blocks(layout, src):
-    """Yield (BucketedGraph, src_table) per source block — or once for a
-    flat layout."""
+def _iter_blocks(layout, tabs):
+    """Yield (BucketedGraph, sliced_tabs, col_base) per source block — or
+    once for a flat layout.  ``col_base`` rebases the block's local
+    neighbor ids to global (needed by the layout-invariant dropout hash)."""
     if isinstance(layout, BlockedBucketedGraph):
         B = layout.block_rows
-        src = _pad_rows(src, len(layout.blocks) * B)
+        tabs = tuple(_pad_rows(t, len(layout.blocks) * B) for t in tabs)
         for bi, bg_b in enumerate(layout.blocks):
-            yield bg_b, _slice_block(src, bi * B, B)
+            yield bg_b, tuple(_slice_block(t, bi * B, B) for t in tabs), bi * B
     else:
-        yield layout, src
+        yield layout, tabs, 0
 
 
 def _merge_blocks(outs, lses):
@@ -351,25 +482,36 @@ def _merge_blocks(outs, lses):
 
 
 def _blocked_forward(bbg, q, k, v, score, e_row, e_col, negative_slope,
-                     tile_width, gather_dtype):
-    src = _pack_src(k, v, e_col, score, gather_dtype)
+                     tile_width, gather_dtype, drop=None, weights_acc=None):
+    tabs = _make_tabs(k, v, e_col, score, gather_dtype)
     outs, lses = [], []
-    for bg_b, sub in _iter_blocks(bbg, src):
-        o, l = _forward_src(bg_b, q, e_row, sub, jnp.float32, v.shape[2],
-                            score, negative_slope, tile_width)
+    for bg_b, sub_tabs, col_base in _iter_blocks(bbg, tabs):
+        drop_b = None if drop is None else (drop[0], drop[1], col_base)
+        r = _forward_tabs(bg_b, q, e_row, sub_tabs, jnp.float32,
+                          v.shape[2], score, negative_slope, tile_width,
+                          drop=drop_b, weights_acc=weights_acc)
+        if weights_acc is not None:
+            o, l, weights_acc = r
+        else:
+            o, l = r
         outs.append(o)
         lses.append(l)
     out, lse = _merge_blocks(outs, lses)
+    if weights_acc is not None:
+        return out.astype(v.dtype), lse, weights_acc
     return out.astype(v.dtype), lse
 
 
 def _any_forward(bg, q, k, v, score, e_row, e_col, negative_slope,
-                 tile_width, gather_dtype):
+                 tile_width, gather_dtype, drop=None, weights_acc=None):
     if isinstance(bg, BlockedBucketedGraph):
         return _blocked_forward(bg, q, k, v, score, e_row, e_col,
-                                negative_slope, tile_width, gather_dtype)
-    return _forward(bg, q, k, v, score, e_row, e_col, negative_slope,
-                    tile_width, gather_dtype)
+                                negative_slope, tile_width, gather_dtype,
+                                drop=drop, weights_acc=weights_acc)
+    tabs = _make_tabs(k, v, e_col, score, gather_dtype)
+    return _forward_tabs(bg, q, e_row, tabs, v.dtype, v.shape[2], score,
+                         negative_slope, tile_width, drop=drop,
+                         weights_acc=weights_acc)
 
 
 # ---------------------------------------------------------------------------
@@ -389,65 +531,86 @@ def _p_from_scores(s, emask, lse_c):
     )
 
 
-def _bwd_csr_chunk(args, a_row, do, lse, delta, src, f, score, negative_slope):
+def _bwd_csr_chunk(args, a_row, do, lse, delta, tabs, f, score,
+                   negative_slope, drop=None):
     """CSR-direction backward chunk: dQ (dot) or d e_row (add).
 
     Analog of the reference's ``fused_backward_kernel``
     (``fused_gtconv_backward.cu:74-191``): recompute SDDMM, apply the
-    softmax gradient dS = P*(dP - delta), reduce against K per row."""
+    softmax gradient dS = P*(dP - delta), reduce against K per row.  With
+    dropout, the regenerated mask applies to dP (out = (P∘M')V ⇒
+    dP = (dO·Vᵀ)∘M'; delta = <dO, out> is already mask-consistent).
+
+    Each contraction gathers its own operand (single-consumer rule); the
+    dQ pass re-gathers K behind a ``_nocse`` barrier."""
     row_ids, nbr, emask, val = args
     C, W = nbr.shape
-    src_n = _take_src(src, nbr.reshape(-1), C, W)
-    k_n, v_n, ec_n = _split_src(src_n, score, f)
+    st, vt = tabs
+    h = vt.shape[1]
+    flat = nbr.reshape(-1)
     do_c = _take_rows(do, row_ids)
     lse_c = _take_rows(lse, row_ids)
     delta_c = _take_rows(delta, row_ids)
     a_c = _take_rows(a_row, row_ids)
     if score == "dot":
+        k_n = _take_src(st, flat, C, W)
         s = jnp.einsum("chf,cwhf->chw", a_c, k_n)
         pre = None
     else:
-        pre = a_c[:, :, None] + ec_n.transpose(0, 2, 1)
+        ec_n = jnp.take(st, flat, axis=0, mode="clip").reshape(C, W, h)
+        pre = a_c[:, :, None] + ec_n.transpose(0, 2, 1).astype(jnp.float32)
         s = jax.nn.leaky_relu(pre, negative_slope=negative_slope)
     if val is not None:
         s = s * val[:, None, :]
     s = jnp.where(emask[:, None, :], s, _NEG_BIG)
     p = _p_from_scores(s, emask, lse_c)
+    v_n = _take_src(vt, flat, C, W)
     dp = jnp.einsum("chf,cwhf->chw", do_c, v_n)
+    if drop is not None:
+        dp = dp * _keep_scale_chw(drop, row_ids, nbr, h)
     ds = p * (dp - delta_c[..., None])
     if val is not None:
         ds = ds * val[:, None, :]
     if score == "dot":
-        return (jnp.einsum("chw,cwhf->chf", ds, k_n),)
+        k_n2 = _take_src(st, _nocse(nbr).reshape(-1), C, W)
+        return (jnp.einsum("chw,cwhf->chf", ds, k_n2),)
     dpre = jnp.where(pre >= 0, ds, ds * negative_slope)
     return (jnp.sum(dpre, axis=2),)        # d e_row [C, h]
 
 
-def _bwd_csc_chunk(args, b_col, v_full, srcT, f, score, negative_slope):
+def _bwd_csc_chunk(args, b_col, v_full, tabsT, f, score, negative_slope,
+                   drop=None):
     """CSC-direction backward chunk over the TRANSPOSED layout: rows are
     sources j; produces (dK_j, dV_j) for dot or (d e_col_j, dV_j) for add.
 
     Analog of the reference's ``spmm_backward_kernel``
     (``fused_gtconv_backward.cu:41-70``) but gather-based: the transposed
-    buckets replace the CSC + edge-permutation arrays."""
+    buckets replace the CSC + edge-permutation arrays.  Dropout: here rows
+    are SOURCES and the gathered lanes are destinations, so the hash
+    orientation swaps; dV uses the masked P̃, dK/d e_col use dS with the
+    mask applied to dP.
+
+    ``tabsT = (aT, doT, ldT)``: destination-side q (dot) / e_row (add),
+    dOut, and the packed per-row (lse, delta) scalars.  Each contraction
+    gathers its own feature operand; dV and dK re-gather dO / q behind
+    ``_nocse`` barriers (single-consumer rule, see ``_take_src``)."""
     row_ids, nbr, emask, val = args
+    aT, doT, ldT = tabsT
     C, W = nbr.shape
-    src_n = _take_src(srcT, nbr.reshape(-1), C, W)
+    h = doT.shape[1]
+    flat = nbr.reshape(-1)
+    ld = jnp.take(ldT, flat, axis=0, mode="clip").reshape(C, W, h, 2)
+    lse_n = ld[..., 0].transpose(0, 2, 1)               # [C, h, W]
+    delta_n = ld[..., 1].transpose(0, 2, 1)
     if score == "dot":
-        q_n = src_n[..., :f]
-        do_n = src_n[..., f:2 * f]
-        lse_n = src_n[..., 2 * f].transpose(0, 2, 1)     # [C, h, W]
-        delta_n = src_n[..., 2 * f + 1].transpose(0, 2, 1)
+        q_n = _take_src(aT, flat, C, W)
         k_j = _take_rows(b_col, row_ids)                 # [C, h, f]
         s = jnp.einsum("chf,cwhf->chw", k_j, q_n)
         pre = None
     else:
-        do_n = src_n[..., :f]
-        er_n = src_n[..., f].transpose(0, 2, 1)          # [C, h, W]
-        lse_n = src_n[..., f + 1].transpose(0, 2, 1)
-        delta_n = src_n[..., f + 2].transpose(0, 2, 1)
+        er_n = jnp.take(aT, flat, axis=0, mode="clip").reshape(C, W, h)
         ec_j = _take_rows(b_col, row_ids)                # [C, h]
-        pre = er_n + ec_j[:, :, None]
+        pre = er_n.transpose(0, 2, 1).astype(jnp.float32) + ec_j[:, :, None]
         s = jax.nn.leaky_relu(pre, negative_slope=negative_slope)
     if val is not None:
         s = s * val[:, None, :]
@@ -456,19 +619,27 @@ def _bwd_csc_chunk(args, b_col, v_full, srcT, f, score, negative_slope):
     p = jnp.where(emask[:, None, :] & live,
                   jnp.exp(s - jnp.where(live, lse_n, 0.0)), 0.0)
     v_j = _take_rows(v_full, row_ids)                    # [C, h, f]
+    do_n = _take_src(doT, flat, C, W)
     dp = jnp.einsum("chf,cwhf->chw", v_j, do_n)
+    p_num = p
+    if drop is not None:
+        ks = _keep_scale_chw_T(drop, row_ids, nbr, h)
+        dp = dp * ks
+        p_num = p * ks
     ds = p * (dp - delta_n)
     if val is not None:
         ds = ds * val[:, None, :]
-    dv_j = jnp.einsum("chw,cwhf->chf", p, do_n)
+    do_n2 = _take_src(doT, _nocse(nbr).reshape(-1), C, W)
+    dv_j = jnp.einsum("chw,cwhf->chf", p_num, do_n2)
     if score == "dot":
-        dk_j = jnp.einsum("chw,cwhf->chf", ds, q_n)
+        q_n2 = _take_src(aT, _nocse(nbr).reshape(-1), C, W)
+        dk_j = jnp.einsum("chw,cwhf->chf", ds, q_n2)
         return dk_j, dv_j
     dpre = jnp.where(pre >= 0, ds, ds * negative_slope)
     return jnp.sum(dpre, axis=2), dv_j                   # d e_col [C, h]
 
 
-def _walk_backward(bg, chunk_fn, out_shapes, h, fs, itemsize):
+def _walk_backward(bg, chunk_fn, out_shapes, row_bytes):
     """Run ``chunk_fn`` over all buckets + segments of a layout; scatter the
     per-row results into zero-initialised outputs [n_nodes+1, ...].
     Backward quantities are plain sums over a row's edges, so segment
@@ -476,14 +647,14 @@ def _walk_backward(bg, chunk_fn, out_shapes, h, fs, itemsize):
     outs = [jnp.zeros((bg.n_nodes + 1,) + s, jnp.float32) for s in out_shapes]
     for b in bg.buckets:
         row_ids, res = _run_bucket(
-            b, chunk_fn, itemsize, h, fs,
+            b, chunk_fn, row_bytes,
             fills=(bg.n_nodes, bg.n_nodes, False, 0.0),
         )
         outs = [o.at[row_ids].set(r, mode="drop") for o, r in zip(outs, res)]
     sb = bg.segments
     if sb is not None:
         seg_args_fn = lambda a: chunk_fn(a)
-        res = _run_segments(sb, seg_args_fn, itemsize, h, fs)
+        res = _run_segments(sb, seg_args_fn, row_bytes)
         R = int(sb.wide_rows.shape[0])
         bins = R + 1
         merged = [_segsum(r, sb.seg_id, bins)[:R] for r in res]
@@ -517,65 +688,68 @@ def _zero_tangents(tree):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _bucket_fused(meta, bg, a, b, v):
-    score, slope, tile_width = meta
+def _bucket_fused(meta, bg, seed, a, b, v):
+    score, slope, tile_width, rate = meta
+    drop = None if rate == 0.0 else (seed, rate, 0)
     out, _ = _any_forward(bg, a if score == "dot" else None,
                           b if score == "dot" else None, v, score,
                           a if score == "add" else None,
                           b if score == "add" else None,
-                          slope, tile_width, None)
+                          slope, tile_width, None, drop=drop)
     return out
 
 
-def _bucket_fused_fwd(meta, bg, a, b, v):
-    score, slope, tile_width = meta
+def _bucket_fused_fwd(meta, bg, seed, a, b, v):
+    score, slope, tile_width, rate = meta
+    drop = None if rate == 0.0 else (seed, rate, 0)
     out, lse = _any_forward(bg, a if score == "dot" else None,
                             b if score == "dot" else None, v, score,
                             a if score == "add" else None,
                             b if score == "add" else None,
-                            slope, tile_width, None)
-    return out, (bg, a, b, v, out, lse)
+                            slope, tile_width, None, drop=drop)
+    return out, (bg, seed, a, b, v, out, lse)
 
 
 def _bucket_fused_bwd(meta, res, do):
-    score, slope, _ = meta
-    bg, a, b, v, out, lse = res
+    score, slope, _, rate = meta
+    bg, seed, a, b, v, out, lse = res
     bgT = bg.transpose
     h, f = v.shape[1], v.shape[2]
     do = do.astype(jnp.float32)
     delta = jnp.einsum("nhf,nhf->nh", do, out.astype(jnp.float32))
 
     # CSR direction: dQ / d e_row (+ recomputed P against the saved lse)
-    src = _pack_src(b if score == "dot" else None, v,
-                    b if score == "add" else None, score, None)
+    tabs = _make_tabs(b if score == "dot" else None, v,
+                      b if score == "add" else None, score, None)
+    # dot-mode re-gathers K for the dQ contraction -> count it twice
+    csr_bytes = _tabs_row_bytes(tabs) + (
+        _tabs_row_bytes(tabs[:1]) if score == "dot" else 0)
     csr_shapes = [(h, f)] if score == "dot" else [(h,)]
     da = None
-    for bg_b, sub in _iter_blocks(bg, src):
-        csr_fn = lambda args, sub=sub: _bwd_csr_chunk(
-            args, a, do, lse, delta, sub, f, score, slope)
-        (da_b,) = _walk_backward(bg_b, csr_fn, csr_shapes, h, src.shape[-1],
-                                 src.dtype.itemsize)
+    for bg_b, sub_tabs, col_base in _iter_blocks(bg, tabs):
+        drop_b = None if rate == 0.0 else (seed, rate, col_base)
+        csr_fn = lambda args, sub=sub_tabs, drop_b=drop_b: _bwd_csr_chunk(
+            args, a, do, lse, delta, sub, f, score, slope, drop_b)
+        (da_b,) = _walk_backward(bg_b, csr_fn, csr_shapes, csr_bytes)
         da = da_b if da is None else da + da_b
 
     # CSC direction over the transposed layout: dK / d e_col, and dV
-    if score == "dot":
-        srcT = jnp.concatenate(
-            [a, do, lse[..., None], delta[..., None]], axis=-1)  # [N,h,2f+2]
-    else:
-        srcT = jnp.concatenate(
-            [do, a[..., None], lse[..., None], delta[..., None]], axis=-1)
+    ldT = jnp.stack([lse, delta], axis=-1)               # [N, h, 2]
+    tabsT = (a, do, ldT)
+    csc_bytes = 2 * _tabs_row_bytes((do,)) + _tabs_row_bytes((ldT,)) + (
+        2 * _tabs_row_bytes((a,)) if score == "dot" else _tabs_row_bytes((a,)))
     csc_shapes = [(h, f), (h, f)] if score == "dot" else [(h,), (h, f)]
     db = dv = None
-    for bgT_b, subT in _iter_blocks(bgT, srcT):
-        csc_fn = lambda args, subT=subT: _bwd_csc_chunk(
-            args, b, v, subT, f, score, slope)
-        db_b, dv_b = _walk_backward(bgT_b, csc_fn, csc_shapes, h,
-                                    srcT.shape[-1], srcT.dtype.itemsize)
+    for bgT_b, subT, col_base in _iter_blocks(bgT, tabsT):
+        drop_b = None if rate == 0.0 else (seed, rate, col_base)
+        csc_fn = lambda args, subT=subT, drop_b=drop_b: _bwd_csc_chunk(
+            args, b, v, subT, f, score, slope, drop_b)
+        db_b, dv_b = _walk_backward(bgT_b, csc_fn, csc_shapes, csc_bytes)
         db = db_b if db is None else db + db_b
         dv = dv_b if dv is None else dv + dv_b
 
-    return (_zero_tangents(bg), da.astype(a.dtype), db.astype(b.dtype),
-            dv.astype(v.dtype))
+    return (_zero_tangents(bg), _float0_like(seed), da.astype(a.dtype),
+            db.astype(b.dtype), dv.astype(v.dtype))
 
 
 _bucket_fused.defvjp(_bucket_fused_fwd, _bucket_fused_bwd)
@@ -593,7 +767,10 @@ def bucket_graph_attention(
     negative_slope: float = 0.2,
     tile_width: int = 2048,
     gather_dtype=None,
-) -> jax.Array:
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+    return_weights: bool = False,
+):
     """Fused SDDMM -> edge-softmax -> SpMM over all degree buckets.
 
     ``q,k,v``: ``[n_nodes, h, f]`` (dot) or ``e_row,e_col``: ``[n_nodes, h]``
@@ -603,6 +780,12 @@ def bucket_graph_attention(
     ``gather_dtype`` is None, gradients flow through the fused custom
     backward (see module docstring); otherwise XLA autodiff applies.
 
+    ``dropout_rate > 0`` applies attention-weight dropout with 1/(1-p)
+    rescaling (reference semantics, ``fused_gatconv_kernel.cu:101-110``)
+    via the layout-invariant edge hash (:mod:`dfgnn_tpu.ops.edge_dropout`);
+    the fused custom backward regenerates the identical mask from the
+    seed — no O(E) mask stash.
+
     ``gather_dtype=jnp.bfloat16`` halves the bytes of the gathered source
     table; scores/accumulation stay fp32.  The gather is row-overhead
     bound, so this saves memory rather than time; expect ~1e-2 relative
@@ -610,15 +793,42 @@ def bucket_graph_attention(
     """
     if score not in ("dot", "add"):
         raise ValueError(f"unknown score mode {score!r}")
+    rate = float(dropout_rate)
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+    seed = (seed_from_key(dropout_rng) if rate > 0.0
+            else jnp.zeros((), jnp.uint32))
+    if return_weights:
+        # Two-phase/materialized-score mode (reference softmax strategy's
+        # attn_edge artifact): diagnostic, non-custom-vjp path; weights are
+        # the normalized PRE-dropout softmax weights in CSR edge order.
+        if bg.e_pad <= 0:
+            raise ValueError(
+                "return_weights needs an edge-id layout: build with "
+                "formats.preprocess('two_phase', g) / "
+                "build_buckets(with_edge_ids=True)")
+        h = v.shape[1]
+        sc0 = jnp.full((bg.e_pad + 1, h), _NEG_BIG, jnp.float32)
+        dst0 = jnp.full((bg.e_pad + 1,), bg.n_nodes, jnp.int32)
+        drop = None if rate == 0.0 else (seed, rate, 0)
+        out, lse, (sc, dst) = _any_forward(
+            bg, q, k, v, score, e_row, e_col, negative_slope,
+            tile_width, gather_dtype, drop=drop, weights_acc=(sc0, dst0))
+        lse_e = jnp.take(lse, dst[: bg.e_pad], axis=0, mode="clip")
+        sc = sc[: bg.e_pad]
+        live = (sc > _DEAD) & (lse_e > _DEAD)
+        w = jnp.where(live, jnp.exp(sc - jnp.where(live, lse_e, 0.0)), 0.0)
+        return out, w
     # The fused custom backward treats edge values as constants (the
     # reference's fixed A.val); when the layout carries val arrays, fall
     # back to XLA autodiff so d(val) propagates if differentiated.
     if (bg.transpose is not None and gather_dtype is None
             and not _layout_has_val(bg)):
-        meta = (score, negative_slope, tile_width)
+        meta = (score, negative_slope, tile_width, rate)
         if score == "dot":
-            return _bucket_fused(meta, bg, q, k, v)
-        return _bucket_fused(meta, bg, e_row, e_col, v)
+            return _bucket_fused(meta, bg, seed, q, k, v)
+        return _bucket_fused(meta, bg, seed, e_row, e_col, v)
+    drop = None if rate == 0.0 else (seed, rate, 0)
     out, _ = _any_forward(bg, q, k, v, score, e_row, e_col, negative_slope,
-                          tile_width, gather_dtype)
+                          tile_width, gather_dtype, drop=drop)
     return out

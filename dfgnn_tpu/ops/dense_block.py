@@ -62,10 +62,15 @@ def dense_graph_attention(
     negative_slope: float = 0.2,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
-) -> jax.Array:
+    return_weights: bool = False,
+):
     """Fused-by-XLA masked attention.  ``q,k,v``: ``[B, P, h, f]`` ->
     ``[B, P, h, f]``; rows with no edges produce zeros (reference's
-    zero-degree guard, ``fused_gtconv_hyper.cu:273``)."""
+    zero-degree guard, ``fused_gtconv_hyper.cu:273``).
+
+    ``return_weights=True`` additionally returns the normalized PRE-dropout
+    attention weights ``[B, h, P, P]`` (the reference softmax strategy's
+    materialized ``attn_edge``, in dense layout)."""
     s = dense_scores(
         batch, q, k, score=score, e_row=e_row, e_col=e_col,
         negative_slope=negative_slope,
@@ -74,7 +79,11 @@ def dense_graph_attention(
     ex = jnp.where(batch.adj[:, None], jnp.exp(s - jnp.maximum(m, _NEG_BIG)), 0.0)
     den = jnp.sum(ex, axis=-1, keepdims=True)
     w = jnp.where(den > 0, ex / jnp.where(den > 0, den, 1.0), 0.0)
+    w_clean = w
     if dropout_rate > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, w.shape)
         w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
-    return jnp.einsum("bhrc,bchf->brhf", w, v)
+    out = jnp.einsum("bhrc,bchf->brhf", w, v)
+    if return_weights:
+        return out, w_clean
+    return out

@@ -31,6 +31,7 @@ def graph_attention(
     negative_slope: float = 0.2,
     dropout_rate: float = 0.0,
     dropout_rng=None,
+    return_weights: bool = False,
     method: str = "auto",
 ):
     """Fused (or oracle) SDDMM -> edge-softmax -> SpMM attention convolution.
@@ -55,23 +56,35 @@ def graph_attention(
         # auto -> Pallas flash kernel (fastest AND fp32-accurate); the XLA
         # dense formulation stays reachable as method="dense", and is the
         # automatic fallback when edge values are present (flash doesn't
-        # take them).
-        if method in ("auto", "flash") and g.val is None and dropout_rate == 0.0:
+        # take them) or when attention weights are requested (dense
+        # [B, h, P, P] weights, the materialized-attn_edge analog).
+        if (method in ("auto", "flash") and g.val is None
+                and not return_weights):
             from dfgnn_tpu.ops.pallas import flash_mask
 
-            return flash_mask.flash_graph_attention(g, q, k, v, **kw)
+            return flash_mask.flash_graph_attention(g, q, k, v, **kw, **drop)
         if method in ("auto", "dense", "flash", "reference"):
             # "reference" on a DenseBatch = the unfused XLA dense
             # formulation (the oracle for this layout)
-            return _dense.dense_graph_attention(g, q, k, v, **kw, **drop)
+            return _dense.dense_graph_attention(
+                g, q, k, v, **kw, **drop, return_weights=return_weights)
         raise ValueError(f"method {method!r} invalid for DenseBatch")
     if isinstance(g, (BucketedGraph, BlockedBucketedGraph)):
         if method in ("auto", "bucket"):
-            return _bucket.bucket_graph_attention(g, q, k, v, **kw)
+            return _bucket.bucket_graph_attention(
+                g, q, k, v, **kw, **drop, return_weights=return_weights)
         raise ValueError(f"method {method!r} invalid for {type(g).__name__}")
     from dfgnn_tpu.parallel.partition import EdgePartitionedGraph
 
     if isinstance(g, EdgePartitionedGraph):
+        if return_weights:
+            raise NotImplementedError(
+                "return_weights is not available on the distributed path")
+        if dropout_rate > 0.0:
+            raise NotImplementedError(
+                "attention dropout is not implemented on the distributed "
+                "path; train with dropout on a BucketedGraph/DenseBatch "
+                "layout (never silently ignored)")
         if g.mesh is None:
             raise ValueError("EdgePartitionedGraph needs mesh= set (partition_graph(..., mesh=mesh))")
         if method in ("auto", "dist"):
@@ -84,11 +97,19 @@ def graph_attention(
     from dfgnn_tpu.data.sampling import SampledBlock, sampled_block_attention
 
     if isinstance(g, SampledBlock):
+        if return_weights:
+            raise NotImplementedError(
+                "return_weights is not available on the sampled-block path")
+        if dropout_rate > 0.0:
+            raise NotImplementedError(
+                "attention dropout is not implemented on the sampled-block "
+                "path (never silently ignored)")
         if method in ("auto", "sampled", "bucket"):
             return sampled_block_attention(g, q, k, v, **kw)
         raise ValueError(f"method {method!r} invalid for SampledBlock")
     if isinstance(g, Graph):
         if method in ("auto", "reference"):
-            return _ref.graph_attention_reference(g, q, k, v, **kw, **drop)
+            return _ref.graph_attention_reference(
+                g, q, k, v, **kw, **drop, return_weights=return_weights)
         raise ValueError(f"method {method!r} invalid for Graph")
     raise TypeError(f"unsupported graph layout {type(g)!r}")

@@ -39,8 +39,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dfgnn_tpu.graph import DenseBatch
+from dfgnn_tpu.ops.edge_dropout import keep_scale, seed_from_key
 
 _NEG_BIG = -1e30
+
+
+def _drop_scale(seed, rate, G, P):
+    """In-kernel dropout keep/(1-p) factor [G, P, P], keyed on GLOBAL node
+    ids so forward and backward (which may pick different graph-block sizes
+    G) regenerate the identical mask — the role of the reference's stashed
+    ``edge_mask[nnz, h]`` (``fused_gatconv_kernel.cu:1073-1081``) without
+    the O(E) stash."""
+    gi = jax.lax.broadcasted_iota(jnp.int32, (G, P, P), 0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (G, P, P), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (G, P, P), 2)
+    gg = pl.program_id(0) * G + gi
+    return keep_scale(seed, gg * P + ri, gg * P + ci, pl.program_id(1), rate)
 
 
 def _interpret_default() -> bool:
@@ -104,12 +118,17 @@ def _bmm_tn(a, b, prec):  # a[g]^T @ b[g] : a dim1 x b dim1
 # Forward
 # ---------------------------------------------------------------------------
 
-def _softmax_matmul(s, adj, v, o_ref, lse_ref, prec):
+def _softmax_matmul(s, adj, v, o_ref, lse_ref, prec, seed_ref, rate):
     s = jnp.where(adj, s, _NEG_BIG)
     m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), _NEG_BIG)
     ex = jnp.where(adj, jnp.exp(s - m), 0.0)
     l = jnp.sum(ex, axis=-1, keepdims=True)
     inv = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
+    if rate > 0.0:
+        # numerator-only mask: dropout acts on the NORMALISED weights, the
+        # denominator stays unmasked (reference semantics)
+        G, P, _ = s.shape
+        ex = ex * _drop_scale(seed_ref[0, 0], rate, G, P)
     # normalise AFTER the matmul (row-scale of the output): one fewer live
     # [G, P, P] buffer on the kernel's VMEM stack
     o = _bmm_nn(ex.astype(v.dtype), v, prec) * inv
@@ -118,24 +137,26 @@ def _softmax_matmul(s, adj, v, o_ref, lse_ref, prec):
     lse_ref[0, :, :] = lse[:, :, 0]
 
 
-def _fwd_kernel_dot(q_ref, k_ref, v_ref, adj_ref, o_ref, lse_ref, *, slope, prec):
+def _fwd_kernel_dot(seed_ref, q_ref, k_ref, v_ref, adj_ref, o_ref, lse_ref,
+                    *, slope, prec, rate):
     del slope
     q = q_ref[:, 0, :, :]
     k = k_ref[:, 0, :, :]
     v = v_ref[:, 0, :, :]
     adj = adj_ref[...] != 0
     s = _bmm_nt(q, k, prec)
-    _softmax_matmul(s, adj, v, o_ref, lse_ref, prec)
+    _softmax_matmul(s, adj, v, o_ref, lse_ref, prec, seed_ref, rate)
 
 
-def _fwd_kernel_add(er_ref, ec_ref, v_ref, adj_ref, o_ref, lse_ref, *, slope, prec):
+def _fwd_kernel_add(seed_ref, er_ref, ec_ref, v_ref, adj_ref, o_ref, lse_ref,
+                    *, slope, prec, rate):
     er = er_ref[0, :, :].astype(jnp.float32)
     ec = ec_ref[0, :, :].astype(jnp.float32)
     v = v_ref[:, 0, :, :]
     adj = adj_ref[...] != 0
     pre = er[:, :, None] + ec[:, None, :]
     s = jnp.where(pre >= 0, pre, pre * slope)
-    _softmax_matmul(s, adj, v, o_ref, lse_ref, prec)
+    _softmax_matmul(s, adj, v, o_ref, lse_ref, prec, seed_ref, rate)
 
 
 def _specs(G, P, f):
@@ -146,10 +167,12 @@ def _specs(G, P, f):
         # [h, B, P] so the block's trailing dims (G, P) satisfy Mosaic's
         # (8, 128)-divisible-or-full constraint for any head count.
         row=pl.BlockSpec((1, G, P), lambda b, hh: (hh, b, 0), memory_space=pltpu.VMEM),
+        seed=pl.BlockSpec((1, 1), lambda b, hh: (0, 0), memory_space=pltpu.SMEM),
     )
 
 
-def _fwd(adj, q, k, v, e_row, e_col, score, slope, interpret, prec):
+def _fwd(adj, q, k, v, e_row, e_col, score, slope, interpret, prec,
+         seed=None, rate=0.0):
     B, h, P, f = v.shape
     # n_mat=2: scores + exp live on the stack (normalisation is deferred to
     # a row-scale of the matmul output)
@@ -160,14 +183,17 @@ def _fwd(adj, q, k, v, e_row, e_col, score, slope, interpret, prec):
         jax.ShapeDtypeStruct((h, B, P), jnp.float32),
     )
     out_specs = (sp["feat"], sp["row"])
+    if seed is None:
+        seed = jnp.zeros((), jnp.uint32)
+    seed2d = seed.reshape(1, 1)
     if score == "dot":
-        kern = functools.partial(_fwd_kernel_dot, slope=slope, prec=prec)
-        ins = (q, k, v, adj)
-        in_specs = [sp["feat"], sp["feat"], sp["feat"], sp["adj"]]
+        kern = functools.partial(_fwd_kernel_dot, slope=slope, prec=prec, rate=rate)
+        ins = (seed2d, q, k, v, adj)
+        in_specs = [sp["seed"], sp["feat"], sp["feat"], sp["feat"], sp["adj"]]
     else:
-        kern = functools.partial(_fwd_kernel_add, slope=slope, prec=prec)
-        ins = (e_row, e_col, v, adj)
-        in_specs = [sp["row"], sp["row"], sp["feat"], sp["adj"]]
+        kern = functools.partial(_fwd_kernel_add, slope=slope, prec=prec, rate=rate)
+        ins = (seed2d, e_row, e_col, v, adj)
+        in_specs = [sp["seed"], sp["row"], sp["row"], sp["feat"], sp["adj"]]
     return pl.pallas_call(
         kern,
         grid=(B // G, h),
@@ -184,8 +210,8 @@ def _fwd(adj, q, k, v, e_row, e_col, score, slope, interpret, prec):
 # gradient dS = P*(dP - rowsum(dO*O)))
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel_dot(q_ref, k_ref, v_ref, adj_ref, lse_ref, do_ref, delta_ref,
-                    dq_ref, dk_ref, dv_ref, *, slope, prec):
+def _bwd_kernel_dot(seed_ref, q_ref, k_ref, v_ref, adj_ref, lse_ref, do_ref,
+                    delta_ref, dq_ref, dk_ref, dv_ref, *, slope, prec, rate):
     del slope
     q = q_ref[:, 0, :, :]
     k = k_ref[:, 0, :, :]
@@ -197,14 +223,20 @@ def _bwd_kernel_dot(q_ref, k_ref, v_ref, adj_ref, lse_ref, do_ref, delta_ref,
     s = _bmm_nt(q, k, prec)
     p = jnp.where(adj, jnp.exp(s - lse[:, :, None]), 0.0)
     dp = _bmm_nt(do, v, prec)
+    pn = p
+    if rate > 0.0:
+        G, P, _ = p.shape
+        ks = _drop_scale(seed_ref[0, 0], rate, G, P)
+        dp = dp * ks   # out = (P∘M')V ⇒ dP = (dO·Vᵀ)∘M'
+        pn = p * ks    # dV = (P∘M')ᵀ dO
     ds = p * (dp - delta[:, :, None])
     dq_ref[:, 0, :, :] = _bmm_nn(ds.astype(k.dtype), k, prec).astype(dq_ref.dtype)
     dk_ref[:, 0, :, :] = _bmm_tn(ds.astype(q.dtype), q, prec).astype(dk_ref.dtype)
-    dv_ref[:, 0, :, :] = _bmm_tn(p.astype(do.dtype), do, prec).astype(dv_ref.dtype)
+    dv_ref[:, 0, :, :] = _bmm_tn(pn.astype(do.dtype), do, prec).astype(dv_ref.dtype)
 
 
-def _bwd_kernel_add(er_ref, ec_ref, v_ref, adj_ref, lse_ref, do_ref, delta_ref,
-                    der_ref, dec_ref, dv_ref, *, slope, prec):
+def _bwd_kernel_add(seed_ref, er_ref, ec_ref, v_ref, adj_ref, lse_ref, do_ref,
+                    delta_ref, der_ref, dec_ref, dv_ref, *, slope, prec, rate):
     er = er_ref[0, :, :].astype(jnp.float32)
     ec = ec_ref[0, :, :].astype(jnp.float32)
     v = v_ref[:, 0, :, :]
@@ -216,27 +248,34 @@ def _bwd_kernel_add(er_ref, ec_ref, v_ref, adj_ref, lse_ref, do_ref, delta_ref,
     s = jnp.where(pre >= 0, pre, pre * slope)
     p = jnp.where(adj, jnp.exp(s - lse[:, :, None]), 0.0)
     dp = _bmm_nt(do, v, prec)
+    pn = p
+    if rate > 0.0:
+        G, P, _ = p.shape
+        ks = _drop_scale(seed_ref[0, 0], rate, G, P)
+        dp = dp * ks
+        pn = p * ks
     ds = p * (dp - delta[:, :, None])
     dpre = jnp.where(pre >= 0, ds, ds * slope)
     der_ref[0, :, :] = jnp.sum(dpre, axis=2).astype(der_ref.dtype)
     dec_ref[0, :, :] = jnp.sum(dpre, axis=1).astype(dec_ref.dtype)
-    dv_ref[:, 0, :, :] = _bmm_tn(p.astype(do.dtype), do, prec).astype(dv_ref.dtype)
+    dv_ref[:, 0, :, :] = _bmm_tn(pn.astype(do.dtype), do, prec).astype(dv_ref.dtype)
 
 
-def _bwd(score, slope, interpret, prec, adj, res, do):
+def _bwd(score, slope, interpret, prec, rate, adj, seed, res, do):
     a, b_, v, lse, out = res
     B, h, P, f = v.shape
     G = _pick_graph_block(B, P, f, n_feat=8, n_mat=8)
     sp = _specs(G, P, f)
     delta = jnp.einsum("bhpf,bhpf->hbp", do, out, preferred_element_type=jnp.float32)
+    seed2d = seed.reshape(1, 1)
     if score == "dot":
-        kern = functools.partial(_bwd_kernel_dot, slope=slope, prec=prec)
-        in_specs = [sp["feat"], sp["feat"], sp["feat"], sp["adj"], sp["row"], sp["feat"], sp["row"]]
+        kern = functools.partial(_bwd_kernel_dot, slope=slope, prec=prec, rate=rate)
+        in_specs = [sp["seed"], sp["feat"], sp["feat"], sp["feat"], sp["adj"], sp["row"], sp["feat"], sp["row"]]
         out_shape = tuple(jax.ShapeDtypeStruct((B, h, P, f), x.dtype) for x in (a, b_, v))
         out_specs = (sp["feat"], sp["feat"], sp["feat"])
     else:
-        kern = functools.partial(_bwd_kernel_add, slope=slope, prec=prec)
-        in_specs = [sp["row"], sp["row"], sp["feat"], sp["adj"], sp["row"], sp["feat"], sp["row"]]
+        kern = functools.partial(_bwd_kernel_add, slope=slope, prec=prec, rate=rate)
+        in_specs = [sp["seed"], sp["row"], sp["row"], sp["feat"], sp["adj"], sp["row"], sp["feat"], sp["row"]]
         out_shape = (
             jax.ShapeDtypeStruct((h, B, P), a.dtype),
             jax.ShapeDtypeStruct((h, B, P), b_.dtype),
@@ -250,7 +289,7 @@ def _bwd(score, slope, interpret, prec, adj, res, do):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(a, b_, v, adj, lse, do, delta)
+    )(seed2d, a, b_, v, adj, lse, do, delta)
 
 
 # ---------------------------------------------------------------------------
@@ -258,41 +297,45 @@ def _bwd(score, slope, interpret, prec, adj, res, do):
 # DFGNN/operators/fused_gtconv.py:79-158, fused_gatconv.py:95-176)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_dot(adj, q, k, v, slope, interpret, prec):
-    out, _ = _fwd(adj, q, k, v, None, None, "dot", slope, interpret, prec)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_dot(adj, seed, q, k, v, slope, interpret, prec, rate):
+    out, _ = _fwd(adj, q, k, v, None, None, "dot", slope, interpret, prec,
+                  seed=seed, rate=rate)
     return out
 
 
-def _flash_dot_fwd(adj, q, k, v, slope, interpret, prec):
-    out, lse = _fwd(adj, q, k, v, None, None, "dot", slope, interpret, prec)
-    return out, (adj, (q, k, v, lse, out))
+def _flash_dot_fwd(adj, seed, q, k, v, slope, interpret, prec, rate):
+    out, lse = _fwd(adj, q, k, v, None, None, "dot", slope, interpret, prec,
+                    seed=seed, rate=rate)
+    return out, (adj, seed, (q, k, v, lse, out))
 
 
-def _flash_dot_bwd(slope, interpret, prec, res, do):
-    adj, r = res
-    dq, dk, dv = _bwd("dot", slope, interpret, prec, adj, r, do)
-    return _float0_like(adj), dq, dk, dv
+def _flash_dot_bwd(slope, interpret, prec, rate, res, do):
+    adj, seed, r = res
+    dq, dk, dv = _bwd("dot", slope, interpret, prec, rate, adj, seed, r, do)
+    return _float0_like(adj), _float0_like(seed), dq, dk, dv
 
 
 _flash_dot.defvjp(_flash_dot_fwd, _flash_dot_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_add(adj, e_row, e_col, v, slope, interpret, prec):
-    out, _ = _fwd(adj, None, None, v, e_row, e_col, "add", slope, interpret, prec)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_add(adj, seed, e_row, e_col, v, slope, interpret, prec, rate):
+    out, _ = _fwd(adj, None, None, v, e_row, e_col, "add", slope, interpret,
+                  prec, seed=seed, rate=rate)
     return out
 
 
-def _flash_add_fwd(adj, e_row, e_col, v, slope, interpret, prec):
-    out, lse = _fwd(adj, None, None, v, e_row, e_col, "add", slope, interpret, prec)
-    return out, (adj, (e_row, e_col, v, lse, out))
+def _flash_add_fwd(adj, seed, e_row, e_col, v, slope, interpret, prec, rate):
+    out, lse = _fwd(adj, None, None, v, e_row, e_col, "add", slope, interpret,
+                    prec, seed=seed, rate=rate)
+    return out, (adj, seed, (e_row, e_col, v, lse, out))
 
 
-def _flash_add_bwd(slope, interpret, prec, res, do):
-    adj, r = res
-    der, dec, dv = _bwd("add", slope, interpret, prec, adj, r, do)
-    return _float0_like(adj), der, dec, dv
+def _flash_add_bwd(slope, interpret, prec, rate, res, do):
+    adj, seed, r = res
+    der, dec, dv = _bwd("add", slope, interpret, prec, rate, adj, seed, r, do)
+    return _float0_like(adj), _float0_like(seed), der, dec, dv
 
 
 _flash_add.defvjp(_flash_add_fwd, _flash_add_bwd)
@@ -310,6 +353,8 @@ def flash_graph_attention(
     negative_slope: float = 0.2,
     interpret: Optional[bool] = None,
     precision: Optional[str] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jax.Array:
     """Differentiable fused masked attention over a :class:`DenseBatch`.
 
@@ -317,25 +362,38 @@ def flash_graph_attention(
     (and therefore the unfused oracle) within the reference's rtol=1e-3 bar.
     ``e_row``/``e_col`` are accepted node-major ``[B, P, h]`` (layer
     convention) and transposed to the kernel's ``[h, B, P]`` layout here.
+
+    ``dropout_rate > 0`` applies in-kernel attention-weight dropout
+    (reference's fused curand dropout, ``fused_gatconv_kernel.cu:101-110``)
+    via the stateless edge hash; the backward kernel regenerates the same
+    mask from the seed.
     """
     if batch.val is not None:
         raise NotImplementedError("flash path does not take edge values; use dense")
     if interpret is None:
         interpret = _interpret_default()
+    rate = float(dropout_rate)
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+    seed = (seed_from_key(dropout_rng) if rate > 0.0
+            else jnp.zeros((), jnp.uint32))
     prec = _resolve_precision(precision, v.dtype)
     adj = batch.adj.astype(jnp.uint8)
     hm = lambda x: x.transpose(0, 2, 1, 3)  # [B,P,h,f] -> head-major [B,h,P,f]
     if score == "dot":
-        out = _flash_dot(adj, hm(q), hm(k), hm(v), negative_slope, interpret, prec)
+        out = _flash_dot(adj, seed, hm(q), hm(k), hm(v), negative_slope,
+                         interpret, prec, rate)
     elif score == "add":
         out = _flash_add(
             adj,
+            seed,
             e_row.transpose(2, 0, 1),  # [B,P,h] -> [h,B,P]
             e_col.transpose(2, 0, 1),
             hm(v),
             negative_slope,
             interpret,
             prec,
+            rate,
         )
     else:
         raise ValueError(f"unknown score mode {score!r}")

@@ -459,31 +459,30 @@ def _dist_fused_bwd(meta, res, do):
 
         # CSR direction (destination partition): dQ / d e_row
         if score == "dot":
-            src = _bk._pack_src(exchange(b_l), exchange(v_l), None, score, None)
+            tabs = _bk._make_tabs(exchange(b_l), exchange(v_l), None, score, None)
         else:
-            src = _bk._pack_src(None, exchange(v_l), exchange(b_l), score, None)
+            tabs = _bk._make_tabs(None, exchange(v_l), exchange(b_l), score, None)
         csr_fn = lambda args: _bk._bwd_csr_chunk(
-            args, a_l, do32, lse_l, delta_l, src, f, score, slope)
+            args, a_l, do32, lse_l, delta_l, tabs, f, score, slope)
         csr_shapes = [(h, f)] if score == "dot" else [(h,)]
-        (da_l,) = _bk._walk_backward(bg, csr_fn, csr_shapes, h,
-                                     src.shape[-1], src.dtype.itemsize)
+        csr_bytes = _bk._tabs_row_bytes(tabs) + (
+            _bk._tabs_row_bytes(tabs[:1]) if score == "dot" else 0)
+        (da_l,) = _bk._walk_backward(bg, csr_fn, csr_shapes, csr_bytes)
 
         # CSC direction (source partition): dK / d e_col, dV — the remote
-        # operands (q/do/lse/delta of destinations) ride the reverse
-        # exchange as one packed table.
-        if score == "dot":
-            srcT_l = jnp.concatenate(
-                [a_l, do32, lse_l[..., None], delta_l[..., None]], axis=-1)
-        else:
-            srcT_l = jnp.concatenate(
-                [do32, a_l[..., None], lse_l[..., None], delta_l[..., None]],
-                axis=-1)
-        srcT = exchangeT(srcT_l)
+        # operands (q/do of destinations and the packed (lse, delta)
+        # scalars) ride the reverse exchange as separate tables so each
+        # contraction keeps its own fused gather (see ops.bucket._take_src).
+        ld_l = jnp.stack([lse_l, delta_l], axis=-1)      # [n_l, h, 2]
+        tabsT = (exchangeT(a_l), exchangeT(do32), exchangeT(ld_l))
         csc_fn = lambda args: _bk._bwd_csc_chunk(
-            args, b_l, v_l, srcT, f, score, slope)
+            args, b_l, v_l, tabsT, f, score, slope)
         csc_shapes = [(h, f), (h, f)] if score == "dot" else [(h,), (h, f)]
-        db_l, dv_l = _bk._walk_backward(bgT, csc_fn, csc_shapes, h,
-                                        srcT.shape[-1], srcT.dtype.itemsize)
+        csc_bytes = (2 * _bk._tabs_row_bytes(tabsT[1:2])
+                     + _bk._tabs_row_bytes(tabsT[2:])
+                     + (2 if score == "dot" else 1)
+                     * _bk._tabs_row_bytes(tabsT[:1]))
+        db_l, dv_l = _bk._walk_backward(bgT, csc_fn, csc_shapes, csc_bytes)
         return da_l, db_l, dv_l
 
     fn = jax.shard_map(

@@ -25,9 +25,10 @@ def main(argv=None):
 
     from dfgnn_tpu.data.collate import batch_iterator
     from dfgnn_tpu.data.datasets import load_batched
-    from dfgnn_tpu.models import make_conv
+    from dfgnn_tpu.models import Model
     from dfgnn_tpu.utils.benchmark import benchmark_chained, check_correct
     from dfgnn_tpu.utils.config import build_parser, parse_args, resolve_format
+    from dfgnn_tpu.utils.profiling import profile_region
 
     args = parse_args(build_parser(__doc__), argv)
     formats = (
@@ -44,22 +45,26 @@ def main(argv=None):
         if fmt in ("bucket", "dist"):
             print(f"skip {fmt}: full-graph strategy")
             continue
-        layer = make_conv(args.conv, out_size=args.dim, num_heads=args.heads)
+        # inproj + conv on REAL dataset features (reference workload shape:
+        # Model, DFGNN/layers/model.py:29-40); params initialised once per
+        # format, outside the timed batch loop
+        model = Model(dataset_name=args.dataset, conv=args.conv,
+                      hidden_size=args.dim, num_heads=args.heads)
+        params = None
         times = []
         for ep, (batch, feats, labels, lmask) in enumerate(
             batch_iterator(ds, args.batch_size)
         ):
             batch = batch.device_put()
-            x = jnp.asarray(
-                np.random.default_rng(0).standard_normal(
-                    (batch.n_graphs * batch.np_pad, args.dim)
-                ).astype(np.float32)
-            )
-            if ep == 0 and fmt == formats[0]:
-                pass
-            params = layer.init(jax.random.key(0), batch, x, impl=fmt)
+            x = jnp.asarray(feats)
+            if params is None:
+                params = model.init(jax.random.key(0), batch, x, impl=fmt)
+            if ep == 0 and args.profile:
+                with profile_region(f"batch_{args.dataset}_{fmt}"):
+                    jax.block_until_ready(
+                        model.apply(params, batch, x, impl=fmt))
             ms = benchmark_chained(
-                lambda x: layer.apply(params, batch, x, impl=fmt), x, iters=10
+                lambda x: model.apply(params, batch, x, impl=fmt), x, iters=10
             )
             eps = batch.n_edges / (ms / 1e3)
             times.append((ms, eps))
@@ -69,8 +74,8 @@ def main(argv=None):
                 # default to bf16 passes; the parity bar is fp32)
                 g = batch.to_graph()
                 with jax.default_matmul_precision("highest"):
-                    want = layer.apply(params, g, x, impl="reference")
-                    got = layer.apply(params, batch, x, impl=fmt)
+                    want = model.apply(params, g, x, impl="reference")
+                    got = model.apply(params, batch, x, impl=fmt)
                 ok = check_correct(np.asarray(got), np.asarray(want))
                 print(f"  [{fmt}] correctness vs oracle: {'OK' if ok else 'FAIL'}")
             if ep >= 1:

@@ -68,10 +68,17 @@ def main(argv=None):
         mesh = make_mesh(n_dev)
         layouts["dist"] = partition_graph(g, n_dev, mesh=mesh)
 
+    from dfgnn_tpu.utils.profiling import profile_region
+
     results = {}
     ref_out = None
     for fmt in formats:
         gg = layouts[fmt]
+        if args.profile:
+            # trace one timed call (reference --profile bracket,
+            # DFGNN/utils/util.py:325-348)
+            with profile_region(f"full_{args.dataset}_{fmt}"):
+                jax.block_until_ready(layer.apply(params, gg, x))
         ms = benchmark_chained(
             lambda x: layer.apply(params, gg, x), x, iters=10
         )

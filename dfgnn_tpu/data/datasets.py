@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import pickle
 import sys
+import zlib
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
@@ -165,7 +166,7 @@ def _load_npz_full(name: str, data_dir: str) -> Optional[FullGraphDataset]:
 def _synthetic_full(name: str, scale: float = 1.0) -> FullGraphDataset:
     n, deg, d, c, power = _FULL_ANCHORS[name]
     n = max(64, int(n * scale))
-    rng = np.random.default_rng(abs(hash(name)) % (2**31))
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     if power:
         rows, cols = syn.power_law_graph(rng, n, avg_deg=min(deg, 64), alpha=1.6)
     else:
@@ -201,7 +202,7 @@ def load_full_graph(name: str, data_dir: str = "data", *, scale: float = 1.0,
 
 def _synthetic_batched(name: str, n_graphs: int) -> BatchedGraphDataset:
     mean_nodes, deg, kind, in_dim, n_classes, task = _BATCH_ANCHORS[name]
-    rng = np.random.default_rng(abs(hash(name)) % (2**31))
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     graphs, feats = [], []
     if name in ("PATTERN", "CLUSTER"):
         raw = syn.pattern_like_batch(rng, n_graphs, mean_nodes=mean_nodes, avg_deg=deg)

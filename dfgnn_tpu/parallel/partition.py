@@ -62,6 +62,25 @@ class EdgePartitionedGraph:
     # distributed custom backward (CSC-direction dK/dV), the multi-chip
     # analog of the reference's CSC arrays (fused_gtconv_backward.cu:41-70).
     transpose: Optional["EdgePartitionedGraph"] = None
+    # Locality reordering (partition_graph(reorder="bfs")): node features
+    # enter permuted (x[perm]) and outputs return in original order
+    # (out[rank]); None = identity.
+    node_perm: Optional[jax.Array] = None   # [n] old ids in new order
+    node_rank: Optional[jax.Array] = None   # [n] rank[old] = new
+
+    def comm_rows_per_device(self) -> int:
+        """Rows each device receives per exchanged operand per layer —
+        the comm-volume model (multiply by row bytes for bytes/step)."""
+        if self.halo is not None:
+            return (self.n_devices - 1) * self.halo.max_halo
+        return (self.n_devices - 1) * self.n_local
+
+    @property
+    def padded_edges(self) -> int:
+        tot = sum(int(np.prod(b.nbr.shape)) for b in self.buckets)
+        if self.segments is not None:
+            tot += int(np.prod(self.segments.nbr.shape))
+        return tot
 
 
 @struct.dataclass
@@ -93,6 +112,7 @@ def partition_graph(
     halo: bool = False,
     with_transpose: bool = False,
     split_width: int = 256,
+    reorder: Optional[str] = None,
 ) -> EdgePartitionedGraph:
     """Host-side: split rows into ``n_devices`` contiguous blocks and build
     shape-harmonized per-device buckets.
@@ -102,8 +122,35 @@ def partition_graph(
     exchanged (one ``all_to_all``), so per-step comm is O(halo) instead of
     the default all-gather's O(n_nodes).  Wins when the partition has
     locality (clustered/community graphs); on locality-free random graphs
-    the halo approaches all-of-peer and the default is equivalent."""
+    the halo approaches all-of-peer and the default is equivalent.
+
+    ``reorder="bfs"`` applies a locality-aware node permutation before the
+    contiguous blocking (Cuthill-McKee-style BFS, see
+    :mod:`dfgnn_tpu.parallel.reorder`), so halo mode wins by default on
+    community graphs even when input node ids are shuffled.  Features are
+    permuted on entry and outputs returned in original order."""
     n = g.n_nodes
+    if reorder:
+        from dfgnn_tpu.parallel.reorder import (
+            bfs_reorder, lpa_reorder, reorder_graph,
+        )
+
+        if reorder not in ("bfs", "lpa"):
+            raise ValueError(f"unknown reorder {reorder!r}")
+        e = g.n_edges
+        rows_np = np.asarray(g.rows)[:e]
+        cols_np = np.asarray(g.cols)[:e]
+        fn = lpa_reorder if reorder == "lpa" else bfs_reorder
+        perm = fn(rows_np, cols_np, n)
+        nr, nc, rank = reorder_graph(rows_np, cols_np, n, perm)
+        g2 = Graph.from_coo(
+            nr, nc, n, val=None if g.val is None else np.asarray(g.val)[:e])
+        pg = partition_graph(
+            g2, n_devices, min_width=min_width, widths=widths, mesh=mesh,
+            axis=axis, halo=halo, with_transpose=with_transpose,
+            split_width=split_width, reorder=None)
+        return pg.replace(node_perm=perm.astype(np.int32),
+                          node_rank=rank.astype(np.int32))
     n_local = _round_up(n, n_devices) // n_devices
     indptr = np.asarray(g.indptr, dtype=np.int64)
     cols = np.asarray(g.cols)
@@ -341,6 +388,10 @@ def dist_graph_attention(
     all-gathers the source-side operands and runs the local bucketed fused
     computation for its row block.
     """
+    if pg.node_perm is not None:
+        ptake = lambda x: None if x is None else jnp.take(x, pg.node_perm, axis=0)
+        q, k, v = ptake(q), ptake(k), ptake(v)
+        e_row, e_col = ptake(e_row), ptake(e_col)
     n_pad = pg.n_local * pg.n_devices
     q, k, v = (_pad_nodes(t, n_pad) for t in (q, k, v))
     e_row = _pad_nodes(e_row, n_pad)
@@ -361,7 +412,10 @@ def dist_graph_attention(
             pg = pg.replace(mesh=mesh, transpose=pg.transpose.replace(mesh=mesh))
         a, b_ = operands[0], operands[1]
         out = _dist_fused((score, negative_slope, axis), pg, a, b_, operands[2])
-        return out[: pg.n_nodes]
+        out = out[: pg.n_nodes]
+        if pg.node_rank is not None:
+            out = jnp.take(out, pg.node_rank, axis=0)
+        return out
 
     def body(layout, send_local, *ops):
         bg = _local_bg(pg, layout)
@@ -387,7 +441,10 @@ def dist_graph_attention(
         check_vma=False,
     )
     out = fn(_layout(pg), _send_arg(pg), *operands)
-    return out[: pg.n_nodes]
+    out = out[: pg.n_nodes]
+    if pg.node_rank is not None:
+        out = jnp.take(out, pg.node_rank, axis=0)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -47,12 +47,19 @@ def main(argv=None):
 
     n_total = len(jax.devices())
     sizes = [d for d in [1, 2, 4, 8, 16, 32] if d <= n_total]
+    use_halo = bool(os.environ.get("DFGNN_HALO"))
+    reorder = os.environ.get("DFGNN_REORDER") or None  # "lpa" | "bfs"
     base_eps = None
     for nd in sizes:
         mesh = make_mesh(nd)
-        pg = partition_graph(g, nd, mesh=mesh,
-                             halo=bool(os.environ.get("DFGNN_HALO")) and nd > 1)
+        pg = partition_graph(g, nd, mesh=mesh, halo=use_halo and nd > 1,
+                             reorder=reorder)
         n_pad = pg.n_local * pg.n_devices
+        # comm model: rows received per device per exchanged operand x
+        # row bytes (dot mode exchanges k and v)
+        row_bytes = h * f * 4
+        comm_mb = pg.comm_rows_per_device() * row_bytes * 2 / 1e6
+        pad_factor = pg.padded_edges / max(g.n_edges, 1)
         q, k, v = (
             jnp.asarray(rng.standard_normal((n_pad, h, f)).astype(np.float32))
             for _ in range(3)
@@ -66,7 +73,10 @@ def main(argv=None):
             base_eps = eps
         eff = eps / (base_eps * nd) * 100
         print(f"devices={nd:3d}: {ms:8.2f} ms  {eps:.3e} edges/s  "
-              f"scaling-efficiency={eff:5.1f}%", flush=True)
+              f"scaling-efficiency={eff:5.1f}%  comm={comm_mb:.1f} MB/dev/layer"
+              f"  pad={pad_factor:.2f}x"
+              f"{'  [halo]' if pg.halo is not None else ''}"
+              f"{'  [reorder]' if reorder else ''}", flush=True)
 
 
 if __name__ == "__main__":

@@ -221,3 +221,42 @@ def test_dist_under_jit_with_shardings(rng):
     want = graph_attention_reference(g, q[:n], k[:n], v[:n])
     got = jax.jit(lambda q, k, v: dist_graph_attention(pg, mesh, q, k, v))(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5)
+
+
+def test_reorder_halo_community(rng):
+    """Label-propagation reordering makes halo mode comm-efficient on community graphs
+    (shuffled node ids) while outputs stay in original order and match the
+    oracle (VERDICT r1 item 5)."""
+    from dfgnn_tpu.data.synthetic import community_graph
+
+    n, n_dev, h, f = 256, 4, 1, 8
+    rows, cols = community_graph(np.random.default_rng(0), n, n_communities=4,
+                                 avg_deg=8, intra_frac=0.95)
+    # shuffle ids so contiguous blocking has NO locality without reordering
+    shuf = np.random.default_rng(1).permutation(n)
+    g = Graph.from_coo(shuf[rows], shuf[cols], n)
+    mesh = make_mesh(n_dev)
+
+    pg_plain = partition_graph(g, n_dev, mesh=mesh, halo=True)
+    pg_bfs = partition_graph(g, n_dev, mesh=mesh, halo=True, reorder="lpa")
+    # comm win: reordered halo must be much smaller than shuffled halo
+    assert pg_bfs.halo.max_halo < pg_plain.halo.max_halo * 0.6, (
+        pg_bfs.halo.max_halo, pg_plain.halo.max_halo)
+    # and smaller than the all-gather equivalent
+    assert pg_bfs.comm_rows_per_device() < (n_dev - 1) * pg_bfs.n_local
+
+    q, k, v = (jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+               for _ in range(3))
+    want = graph_attention_reference(g, q, k, v)
+    got = dist_graph_attention(pg_bfs, mesh, q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-5)
+
+    # gradients flow through the permutation wrapper
+    t = jnp.asarray(rng.standard_normal(want.shape).astype(np.float32))
+    g_dist = jax.grad(lambda q: jnp.sum(dist_graph_attention(
+        pg_bfs, mesh, q, k, v) * t))(q)
+    g_ref = jax.grad(lambda q: jnp.sum(graph_attention_reference(
+        g, q, k, v) * t))(q)
+    np.testing.assert_allclose(np.asarray(g_dist), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)

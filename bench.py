@@ -55,15 +55,21 @@ def main():
     layer16 = make_conv("gt", out_size=DIM, num_heads=HEADS, method="flash",
                         dtype=jnp2.bfloat16)
     params16 = layer16.init(jax.random.key(0), batch, x)
-    # best bf16 inference strategy: XLA dense masked attention edges out the
-    # Pallas kernel at bf16 (0.25 vs 0.36 ms/batch measured); the kernel
-    # keeps winning fp32-exact and training fw+bw.
-    bf16_ms = min(
-        benchmark_chained(
-            lambda x: layer16.apply(params16, batch, x, impl=impl), x, iters=60
+    # bf16 inference: both implementations reported transparently.  Measured
+    # kernel-only (r2): XLA dense = 0.169 ms/batch — AT the 150MB HBM
+    # roofline (~890GB/s effective) — vs flash kernel 0.226 ms (pipeline
+    # overlap gap; bf16 softmax inside Mosaic is blocked by unsupported
+    # bf16 compares on this target).  The flash kernel wins fp32-exact and
+    # the fused training fw+bw; dense wins bf16 inference by ~25%.
+    bf16_by_impl = {
+        impl: benchmark_chained(
+            lambda x: layer16.apply(params16, batch, x, impl=impl), x,
+            iters=100,
         )
         for impl in ("flash", "dense")
-    )
+    }
+    bf16_impl = min(bf16_by_impl, key=bf16_by_impl.get)
+    bf16_ms = bf16_by_impl[bf16_impl]
 
     # Unfused oracle on a subset (memory: O(E * dim) gathered temporaries),
     # compared by rate.
@@ -108,6 +114,9 @@ def main():
                 "detail": {
                     "fused_ms_per_batch": round(fused_ms, 3),
                     "bf16_ms_per_batch": round(bf16_ms, 3),
+                    "bf16_impl": bf16_impl,
+                    "bf16_flash_ms": round(bf16_by_impl["flash"], 3),
+                    "bf16_dense_ms": round(bf16_by_impl["dense"], 3),
                     "bf16_edges_per_s": round(batch.n_edges / (bf16_ms / 1e3)),
                     "oracle_ms_per_subbatch": round(oracle_ms, 3),
                     "oracle_edges_per_s": round(oracle_eps),

@@ -35,16 +35,34 @@ def main(argv=None):
 
     args = parse_args(build_parser(__doc__), argv)
     ds = load_batched(args.dataset, args.data_dir, n_graphs=args.batch_size * 4)
-    model = GTModel(
-        args.dataset,
-        out_size=ds.num_classes,
-        hidden_size=args.dim,
-        num_layers=args.n_layers,
-        num_heads=args.heads,
-    )
-    # task heads differ: GTModel pools per graph; for node-level tasks use
-    # per-graph-mean-label proxy so the timing harness stays uniform.
-    loss_fn = make_loss_fn(model, "graph_classification", ds.num_classes)
+    node_level = ds.task == "node_classification"
+    if node_level:
+        # node-level head (PATTERN/CLUSTER): inproj -> conv stack -> node
+        # classifier, trained on the real per-node labels + mask
+        from flax import linen as nn
+
+        from dfgnn_tpu.models import choose_inproj
+        from dfgnn_tpu.models.conv import GTConv
+
+        class NodeNet(nn.Module):
+            @nn.compact
+            def __call__(self, g, x):
+                h = choose_inproj(args.dataset, args.dim)(x)
+                for i in range(args.n_layers):
+                    h = GTConv(args.dim, args.heads, name=f"layer_{i}")(g, h)
+                return nn.log_softmax(nn.Dense(ds.num_classes)(h))
+
+        model = NodeNet()
+        loss_fn = make_loss_fn(model, "node_classification", ds.num_classes)
+    else:
+        model = GTModel(
+            args.dataset,
+            out_size=ds.num_classes,
+            hidden_size=args.dim,
+            num_layers=args.n_layers,
+            num_heads=args.heads,
+        )
+        loss_fn = make_loss_fn(model, ds.task, ds.num_classes)
 
     # host-side preprocess timing (collation, per batch, like the ref's
     # per-batch format conversion accounting)
@@ -80,22 +98,20 @@ def main(argv=None):
         sys.exit(1)
     print("strict fused-vs-unfused check: OK")
 
-    yl = jnp.asarray(
-        np.asarray([0 for _ in range(batch0.n_graphs)])
-    )
-    ml = jnp.ones((batch0.n_graphs,))
-
-    fw = jax.jit(lambda p, b, x: loss_fn(p, b, x, yl, ml))
-    fwbw = jax.jit(lambda p, b, x: jax.value_and_grad(loss_fn)(p, b, x, yl, ml)[0])
+    fw = jax.jit(lambda p, b, x, y, m: loss_fn(p, b, x, y, m))
+    fwbw = jax.jit(
+        lambda p, b, x, y, m: jax.value_and_grad(loss_fn)(p, b, x, y, m)[0])
 
     def timed(fn):
         out = None
         for b, x, y, m in batches[:1]:
-            out = fn(params, b, jnp.asarray(x))
+            out = fn(params, b, jnp.asarray(x), jnp.asarray(y),
+                     jnp.asarray(m, dtype=jnp.float32))
         jax.block_until_ready(out)
         t0 = time.time()
         for b, x, y, m in batches:
-            out = fn(params, b, jnp.asarray(x))
+            out = fn(params, b, jnp.asarray(x), jnp.asarray(y),
+                     jnp.asarray(m, dtype=jnp.float32))
         jax.block_until_ready(out)
         return (time.time() - t0) / len(batches) * 1e3
 

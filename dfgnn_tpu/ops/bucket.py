@@ -7,15 +7,24 @@ Full-graph strategy covering the roles of the reference's ``csr``,
 fused computation, with static shapes per degree bucket instead of dynamic
 shared memory.
 
-TPU cost model (measured on v5e): XLA row-gathers are per-ROW-overhead
-bound (~4ns/row for 256B-1KB rows, independent of sortedness or dtype), so
-padded-edge COUNT is the cost of this path.  Therefore (a) all source-side
-operands are packed into ONE gather table per call (k||v for dot scores,
-v||e_col for additive scores) so each edge is gathered exactly once, (b)
-the layout minimises padded edges (x1.5 width ladder + fixed-width segments
-for super-wide rows, see ``formats.build_buckets``), and (c) row chunks are
+TPU cost model (measured on v5e, see ``scripts/microbench_gather.py``):
+XLA row-gathers are per-ROW-overhead bound — ~2.7 ns/row for 128B-512B
+rows, ~4.2 ns for 1KB rows — independent of index sortedness, clustering
+or repeats, and independent gather ops do NOT overlap each other (the op
+is issue-serial).  Padded-row-GATHER count is therefore the cost of this
+path, and the honest floor for E edges is E x (cost of the rows each edge
+must fetch).  Consequences: (a) source-side operands are PACKED into one
+gather table (k||v for dot, e_col||v for add; see ``_packed_gather``) so
+each edge costs ONE ~4.2ns 1KB gather instead of two 2.7ns 512B gathers
+(~22% fwd; the backward collapses 3 gathers to 1), (b) the layout
+minimises padded rows (x1.5 width ladder + fixed-width segments for
+super-wide rows, see ``formats.build_buckets``), and (c) row chunks are
 kept at VMEM scale (``_GATHER_BUDGET_BYTES``) so XLA fuses the gather into
 its consumers instead of round-tripping the gathered buffer through HBM.
+Alternatives measured and rejected: per-row Pallas DMA (~35 ns/row,
+descriptor-issue bound), in-kernel gather (Mosaic: "Unsupported gather"),
+one-hot MXU gather (flops scale with sub-table rows; padding explodes at
+MXU-viable sub-table sizes on uniform-source graphs).
 Super-wide rows are handled by the segment layout's per-segment partial
 (m, l, acc) states merged with the online-softmax combine — the same
 algebra as the reference's tiling kernel (``fused_gtconv_tiling.cu:72-86``);
@@ -88,15 +97,13 @@ def _keep_scale_chw_T(drop, src, dst, h):
 def _take_src(src, flat, C, W):
     """Row gather of one source-side table for a chunk -> [C, W, h, fs].
 
-    CRITICAL single-consumer rule (measured on TPU v5e): XLA fuses a row
-    gather into exactly ONE consumer (elementwise chain ending in a
-    reduce/dot); a second consumer forces the gathered [C, W, h, f] tensor
-    to materialise through HBM at ~2.4x the fused cost (9.6 vs 3.7
-    ns/padded-edge at 1KB rows).  Every call site therefore gathers each
-    feature table separately per consuming contraction — never pack two
-    operands into one gathered row, never feed one gather to two einsums.
-    Per-edge SCALAR tensors ([C, h, W]) are exempt: materialising 4B/edge
-    is noise."""
+    On the SPLIT (packed=False) layout the single-consumer rule applies:
+    XLA fuses a row gather into one consumer; a second consumer of the
+    same gather materialises the [C, W, h, f] buffer.  Split call sites
+    therefore gather per consuming contraction, re-gathering behind
+    ``_nocse`` barriers.  The PACKED layout instead amortises one bigger
+    gather across consumers — measured net cheaper (see module docstring
+    and ``_packed_gather``)."""
     fs = src.shape[-1]
     h = src.shape[1]
     out = jnp.take(src, flat, axis=0, mode="clip").reshape(C, W, h, fs)
@@ -114,29 +121,55 @@ def _nocse(idx):
     return jax.lax.optimization_barrier(idx)
 
 
+def _scores_from_k(k_n, q_c, er_c, emask, val, score, negative_slope):
+    """Masked scores [C, h, W] from a gathered score-side operand: ``k_n``
+    is [C, W, h, f] for dot or [C, W, h] (e_col) for add."""
+    if score == "dot":
+        s = jnp.einsum("chf,cwhf->chw", q_c, k_n)
+    else:
+        s = er_c[:, :, None] + k_n.transpose(0, 2, 1).astype(jnp.float32)
+        s = jax.nn.leaky_relu(s, negative_slope=negative_slope)
+    if val is not None:
+        s = s * val[:, None, :]
+    emask = emask[:, None, :]
+    return jnp.where(emask, s, _NEG_BIG)
+
+
 def _chunk_scores(tabs, q_c, er_c, flat, C, W, emask, val, score,
                   negative_slope):
     """Masked scores [C, h, W] for one chunk; gathers the score-side table
     (k for dot, e_col for add) fused into this single contraction."""
-    st, _ = tabs
+    st = tabs[0]
     if score == "dot":
         k_n = _take_src(st, flat, C, W)
-        s = jnp.einsum("chf,cwhf->chw", q_c, k_n)
     else:
-        ec_n = jnp.take(st, flat, axis=0, mode="clip").reshape(C, W, -1)
-        s = er_c[:, :, None] + ec_n.transpose(0, 2, 1).astype(jnp.float32)
-        s = jax.nn.leaky_relu(s, negative_slope=negative_slope)
-    if val is not None:
-        s = s * val[:, None, :]
-    return jnp.where(emask[:, None, :], s, _NEG_BIG)
+        k_n = jnp.take(st, flat, axis=0, mode="clip").reshape(C, W, -1)
+    return _scores_from_k(k_n, q_c, er_c, emask, val, score, negative_slope)
 
 
 def _chunk_aggregate(tabs, w, flat, C, W, f):
     """out [C, h, f] = sum_w w * v_gathered; the v gather fuses into this
     single contraction."""
-    _, vt = tabs
+    vt = tabs[-1]
     v_n = _take_src(vt, flat, C, W)
     return jnp.einsum("chw,cwhf->chf", w, v_n)
+
+
+def _packed_gather(tabs, flat, C, W, f, score):
+    """One gather of the packed (score-side || v) table -> (k_n, v_n).
+
+    Packed rows halve the gather count: the TPU random row-gather is
+    per-ROW-overhead bound (measured v5e: ~2.7 ns/row for 128B-512B rows,
+    ~4.2 ns for 1KB rows — so one 1KB k||v gather beats two 512B gathers
+    by ~22%, and in the backward one gather replaces three).  The packed
+    buffer has two consumers (score + aggregate contraction), which XLA
+    materialises once — measured cheaper than the second gather.
+    ``k_n``: [C, W, h, f] (dot) or [C, W, h] (add); ``v_n``: [C, W, h, f].
+    """
+    kv = _take_src(tabs[0], flat, C, W)        # [C, W, h, fs + f]
+    if score == "dot":
+        return kv[..., :f], kv[..., f:]
+    return kv[..., 0], kv[..., 1:]
 
 
 def _pick_chunk(r_pad: int, W: int, row_bytes: int) -> int:
@@ -195,12 +228,17 @@ def _direct_chunk(args, q, e_row, tabs, f, score, negative_slope, drop=None,
     Returns (out [C,h,f], lse [C,h])."""
     row_ids, nbr, emask, val = args
     C, W = nbr.shape
-    h = tabs[1].shape[1]
+    h = tabs[0].shape[1]
     flat = nbr.reshape(-1)
     q_c = _take_rows(q, row_ids)
     er_c = _take_rows(e_row, row_ids)
-    s = _chunk_scores(tabs, q_c, er_c, flat, C, W, emask, val, score,
-                      negative_slope)
+    if len(tabs) == 1:
+        k_n, v_n = _packed_gather(tabs, flat, C, W, f, score)
+        s = _scores_from_k(k_n, q_c, er_c, emask, val, score, negative_slope)
+    else:
+        v_n = None
+        s = _chunk_scores(tabs, q_c, er_c, flat, C, W, emask, val, score,
+                          negative_slope)
     m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), _NEG_BIG)
     ex = jnp.where(emask[:, None, :], jnp.exp(s - m), 0.0)
     den = jnp.sum(ex, axis=-1, keepdims=True)
@@ -209,7 +247,10 @@ def _direct_chunk(args, q, e_row, tabs, f, score, negative_slope, drop=None,
         # numerator-only masking: denominator stays unmasked (dropout acts
         # on the NORMALISED weights, reference semantics)
         w = w * _keep_scale_chw(drop, row_ids, nbr, h)
-    out = _chunk_aggregate(tabs, w, _nocse(nbr).reshape(-1), C, W, f)
+    if v_n is not None:
+        out = jnp.einsum("chw,cwhf->chf", w, v_n)
+    else:
+        out = _chunk_aggregate(tabs, w, _nocse(nbr).reshape(-1), C, W, f)
     lse = jnp.where(den > 0, m + jnp.log(jnp.where(den > 0, den, 1.0)), _NEG_BIG)
     if want_s:
         return out, lse[..., 0], s
@@ -223,7 +264,7 @@ def _tiled_chunk(args, q, e_row, tabs, f, score, negative_slope, tile_width,
     ``fused_gtconv_tiling.cu:72-86``)."""
     row_ids, nbr, emask, val = args
     C, W = nbr.shape
-    h = tabs[1].shape[1]
+    h = tabs[0].shape[1]
     n_tiles = W // tile_width
     q_c = _take_rows(q, row_ids)
     er_c = _take_rows(e_row, row_ids)
@@ -233,15 +274,26 @@ def _tiled_chunk(args, q, e_row, tabs, f, score, negative_slope, tile_width,
         sl = jax.lax.dynamic_slice_in_dim(nbr, t * tile_width, tile_width, axis=1)
         msl = jax.lax.dynamic_slice_in_dim(emask, t * tile_width, tile_width, axis=1)
         vsl = None if val is None else jax.lax.dynamic_slice_in_dim(val, t * tile_width, tile_width, axis=1)
-        s = _chunk_scores(tabs, q_c, er_c, sl.reshape(-1), C, tile_width,
-                          msl, vsl, score, negative_slope)
+        if len(tabs) == 1:
+            k_n, v_n = _packed_gather(tabs, sl.reshape(-1), C, tile_width,
+                                      f, score)
+            s = _scores_from_k(k_n, q_c, er_c, msl, vsl, score,
+                               negative_slope)
+        else:
+            v_n = None
+            s = _chunk_scores(tabs, q_c, er_c, sl.reshape(-1), C, tile_width,
+                              msl, vsl, score, negative_slope)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         scale = jnp.exp(m - m_new)
         ex = jnp.where(msl[:, None, :], jnp.exp(s - m_new), 0.0)
         l_new = l * scale + jnp.sum(ex, axis=-1, keepdims=True)
         exn = ex if drop is None else ex * _keep_scale_chw(drop, row_ids, sl, h)
-        acc_new = acc * scale + _chunk_aggregate(
-            tabs, exn, _nocse(sl).reshape(-1), C, tile_width, f)
+        if v_n is not None:
+            upd = jnp.einsum("chw,cwhf->chf", exn, v_n)
+        else:
+            upd = _chunk_aggregate(
+                tabs, exn, _nocse(sl).reshape(-1), C, tile_width, f)
+        acc_new = acc * scale + upd
         return (m_new, l_new, acc_new), None
 
     # carries are fp32 regardless of gather_dtype (accumulation stays fp32)
@@ -263,16 +315,24 @@ def _segment_partials(args, q, e_row, tabs, f, score, negative_slope,
     tiling kernel, ``fused_gtconv_tiling.cu:72-86``, one tile per segment)."""
     seg_dst, nbr, emask, val = args
     C, W = nbr.shape
-    h = tabs[1].shape[1]
+    h = tabs[0].shape[1]
     q_c = _take_rows(q, seg_dst)
     er_c = _take_rows(e_row, seg_dst)
-    s = _chunk_scores(tabs, q_c, er_c, nbr.reshape(-1), C, W, emask, val,
-                      score, negative_slope)
+    if len(tabs) == 1:
+        k_n, v_n = _packed_gather(tabs, nbr.reshape(-1), C, W, f, score)
+        s = _scores_from_k(k_n, q_c, er_c, emask, val, score, negative_slope)
+    else:
+        v_n = None
+        s = _chunk_scores(tabs, q_c, er_c, nbr.reshape(-1), C, W, emask, val,
+                          score, negative_slope)
     m = jnp.max(s, axis=-1)                                   # [C, h]
     ex = jnp.where(emask[:, None, :], jnp.exp(s - m[..., None]), 0.0)
     l = jnp.sum(ex, axis=-1)                                  # [C, h]
     exn = ex if drop is None else ex * _keep_scale_chw(drop, seg_dst, nbr, h)
-    acc = _chunk_aggregate(tabs, exn, _nocse(nbr).reshape(-1), C, W, f)
+    if v_n is not None:
+        acc = jnp.einsum("chw,cwhf->chf", exn, v_n)
+    else:
+        acc = _chunk_aggregate(tabs, exn, _nocse(nbr).reshape(-1), C, W, f)
     if want_s:
         return m, l, acc, s
     return m, l, acc
@@ -312,10 +372,15 @@ def _segsum(x, seg_id, bins):
                                indices_are_sorted=True)
 
 
-def _make_tabs(k, v, e_col, score, gather_dtype):
-    """Separate score-side and value-side gather tables (single-consumer
-    gather discipline, see ``_take_src``): ``(k, v)`` for dot, ``(e_col,
-    v)`` for add."""
+def _make_tabs(k, v, e_col, score, gather_dtype, packed=True):
+    """Source-side gather tables.
+
+    ``packed=True`` (default): ONE table whose rows concatenate the
+    score-side operand and v — ``k||v`` [N, h, 2f] for dot, ``e_col||v``
+    [N, h, 1+f] for add — so each edge costs one row gather (see
+    ``_packed_gather``).  ``packed=False``: separate ``(st, vt)`` tables,
+    each gather fused into a single consuming contraction (see
+    ``_take_src``) — the ablation baseline."""
     if score == "dot":
         st = k                       # [N, h, f]
     elif score == "add":
@@ -326,13 +391,17 @@ def _make_tabs(k, v, e_col, score, gather_dtype):
     if gather_dtype is not None:
         st = st.astype(gather_dtype)
         vt = vt.astype(gather_dtype)
+    if packed:
+        if score == "add":
+            st = st[..., None]       # [N, h, 1]
+        return (jnp.concatenate([st, vt.astype(st.dtype)], axis=-1),)
     return (st, vt)
 
 
 def _forward(bg, q, k, v, score, e_row, e_col, negative_slope, tile_width,
-             gather_dtype, drop=None):
+             gather_dtype, drop=None, packed=True):
     """Fused forward; returns (out [n,h,f], lse [n,h])."""
-    tabs = _make_tabs(k, v, e_col, score, gather_dtype)
+    tabs = _make_tabs(k, v, e_col, score, gather_dtype, packed)
     return _forward_tabs(bg, q, e_row, tabs, v.dtype, v.shape[2], score,
                          negative_slope, tile_width, drop=drop)
 
@@ -352,12 +421,12 @@ def _scatter_edge_vals(acc, eids_pad, r_pad2, vals, fill):
 
 def _forward_tabs(bg, q, e_row, tabs, out_dtype, f, score, negative_slope,
                   tile_width, drop=None, weights_acc=None):
-    """Forward over one (possibly source-block-local) pair of gather tables.
+    """Forward over one (possibly source-block-local) set of gather tables.
 
     ``weights_acc``: optional (scores[e_pad+1, h], dst[e_pad+1]) edge-order
     accumulators for return_weights; threaded through blocked layouts
     (scores are block-invariant, so no cross-block lse correction)."""
-    h = tabs[1].shape[1]
+    h = tabs[0].shape[1]
     row_bytes = _tabs_row_bytes(tabs)
     want_s = weights_acc is not None
 
@@ -482,8 +551,9 @@ def _merge_blocks(outs, lses):
 
 
 def _blocked_forward(bbg, q, k, v, score, e_row, e_col, negative_slope,
-                     tile_width, gather_dtype, drop=None, weights_acc=None):
-    tabs = _make_tabs(k, v, e_col, score, gather_dtype)
+                     tile_width, gather_dtype, drop=None, weights_acc=None,
+                     packed=True):
+    tabs = _make_tabs(k, v, e_col, score, gather_dtype, packed)
     outs, lses = [], []
     for bg_b, sub_tabs, col_base in _iter_blocks(bbg, tabs):
         drop_b = None if drop is None else (drop[0], drop[1], col_base)
@@ -503,12 +573,14 @@ def _blocked_forward(bbg, q, k, v, score, e_row, e_col, negative_slope,
 
 
 def _any_forward(bg, q, k, v, score, e_row, e_col, negative_slope,
-                 tile_width, gather_dtype, drop=None, weights_acc=None):
+                 tile_width, gather_dtype, drop=None, weights_acc=None,
+                 packed=True):
     if isinstance(bg, BlockedBucketedGraph):
         return _blocked_forward(bg, q, k, v, score, e_row, e_col,
                                 negative_slope, tile_width, gather_dtype,
-                                drop=drop, weights_acc=weights_acc)
-    tabs = _make_tabs(k, v, e_col, score, gather_dtype)
+                                drop=drop, weights_acc=weights_acc,
+                                packed=packed)
+    tabs = _make_tabs(k, v, e_col, score, gather_dtype, packed)
     return _forward_tabs(bg, q, e_row, tabs, v.dtype, v.shape[2], score,
                          negative_slope, tile_width, drop=drop,
                          weights_acc=weights_acc)
@@ -541,30 +613,39 @@ def _bwd_csr_chunk(args, a_row, do, lse, delta, tabs, f, score,
     dropout, the regenerated mask applies to dP (out = (P∘M')V ⇒
     dP = (dO·Vᵀ)∘M'; delta = <dO, out> is already mask-consistent).
 
-    Each contraction gathers its own operand (single-consumer rule); the
-    dQ pass re-gathers K behind a ``_nocse`` barrier."""
+    With a packed single-table layout (``len(tabs) == 1``), ONE k||v row
+    gather feeds all three contractions (scores, dP, dQ) — replacing the
+    three separate gathers of the split layout (see ``_packed_gather``)."""
     row_ids, nbr, emask, val = args
     C, W = nbr.shape
-    st, vt = tabs
-    h = vt.shape[1]
+    h = tabs[0].shape[1]
     flat = nbr.reshape(-1)
     do_c = _take_rows(do, row_ids)
     lse_c = _take_rows(lse, row_ids)
     delta_c = _take_rows(delta, row_ids)
     a_c = _take_rows(a_row, row_ids)
+    packed = len(tabs) == 1
+    if packed:
+        k_n, v_n = _packed_gather(tabs, flat, C, W, f, score)
+    else:
+        st, vt = tabs
+        if score == "dot":
+            k_n = _take_src(st, flat, C, W)
+        else:
+            k_n = jnp.take(st, flat, axis=0, mode="clip").reshape(C, W, h)
+        v_n = None
     if score == "dot":
-        k_n = _take_src(st, flat, C, W)
         s = jnp.einsum("chf,cwhf->chw", a_c, k_n)
         pre = None
     else:
-        ec_n = jnp.take(st, flat, axis=0, mode="clip").reshape(C, W, h)
-        pre = a_c[:, :, None] + ec_n.transpose(0, 2, 1).astype(jnp.float32)
+        pre = a_c[:, :, None] + k_n.transpose(0, 2, 1).astype(jnp.float32)
         s = jax.nn.leaky_relu(pre, negative_slope=negative_slope)
     if val is not None:
         s = s * val[:, None, :]
     s = jnp.where(emask[:, None, :], s, _NEG_BIG)
     p = _p_from_scores(s, emask, lse_c)
-    v_n = _take_src(vt, flat, C, W)
+    if v_n is None:
+        v_n = _take_src(tabs[-1], flat, C, W)
     dp = jnp.einsum("chf,cwhf->chw", do_c, v_n)
     if drop is not None:
         dp = dp * _keep_scale_chw(drop, row_ids, nbr, h)
@@ -572,8 +653,9 @@ def _bwd_csr_chunk(args, a_row, do, lse, delta, tabs, f, score,
     if val is not None:
         ds = ds * val[:, None, :]
     if score == "dot":
-        k_n2 = _take_src(st, _nocse(nbr).reshape(-1), C, W)
-        return (jnp.einsum("chw,cwhf->chf", ds, k_n2),)
+        if not packed:
+            k_n = _take_src(tabs[0], _nocse(nbr).reshape(-1), C, W)
+        return (jnp.einsum("chw,cwhf->chf", ds, k_n),)
     dpre = jnp.where(pre >= 0, ds, ds * negative_slope)
     return (jnp.sum(dpre, axis=2),)        # d e_row [C, h]
 
@@ -590,27 +672,40 @@ def _bwd_csc_chunk(args, b_col, v_full, tabsT, f, score, negative_slope,
     orientation swaps; dV uses the masked P̃, dK/d e_col use dS with the
     mask applied to dP.
 
-    ``tabsT = (aT, doT, ldT)``: destination-side q (dot) / e_row (add),
-    dOut, and the packed per-row (lse, delta) scalars.  Each contraction
-    gathers its own feature operand; dV and dK re-gather dO / q behind
-    ``_nocse`` barriers (single-consumer rule, see ``_take_src``)."""
+    ``tabsT``: destination-side operands.  Packed single-table form
+    (default): one a||dO||lse||delta row per destination, gathered ONCE
+    per lane and sliced — replacing the three separate gathers of the
+    split form ``(aT, doT, ldT)`` (see ``_packed_gather``).  ``fs`` is the
+    score-operand width (f for dot, 1 for add)."""
     row_ids, nbr, emask, val = args
-    aT, doT, ldT = tabsT
     C, W = nbr.shape
-    h = doT.shape[1]
+    packed = len(tabsT) == 1
+    h = tabsT[0].shape[1]
     flat = nbr.reshape(-1)
-    ld = jnp.take(ldT, flat, axis=0, mode="clip").reshape(C, W, h, 2)
-    lse_n = ld[..., 0].transpose(0, 2, 1)               # [C, h, W]
-    delta_n = ld[..., 1].transpose(0, 2, 1)
+    fs = f if score == "dot" else 1
+    if packed:
+        g = _take_src(tabsT[0], flat, C, W)              # [C,W,h,fs+f+2]
+        a_n = g[..., :fs]
+        do_n = g[..., fs:fs + f]
+        lse_n = g[..., fs + f].transpose(0, 2, 1)        # [C, h, W]
+        delta_n = g[..., fs + f + 1].transpose(0, 2, 1)
+    else:
+        aT, doT, ldT = tabsT
+        ld = jnp.take(ldT, flat, axis=0, mode="clip").reshape(C, W, h, 2)
+        lse_n = ld[..., 0].transpose(0, 2, 1)            # [C, h, W]
+        delta_n = ld[..., 1].transpose(0, 2, 1)
+        a_n = (_take_src(aT, flat, C, W) if score == "dot" else
+               jnp.take(aT, flat, axis=0, mode="clip")
+               .reshape(C, W, h)[..., None])
+        do_n = None
     if score == "dot":
-        q_n = _take_src(aT, flat, C, W)
         k_j = _take_rows(b_col, row_ids)                 # [C, h, f]
-        s = jnp.einsum("chf,cwhf->chw", k_j, q_n)
+        s = jnp.einsum("chf,cwhf->chw", k_j, a_n)
         pre = None
     else:
-        er_n = jnp.take(aT, flat, axis=0, mode="clip").reshape(C, W, h)
         ec_j = _take_rows(b_col, row_ids)                # [C, h]
-        pre = er_n.transpose(0, 2, 1).astype(jnp.float32) + ec_j[:, :, None]
+        pre = a_n[..., 0].transpose(0, 2, 1).astype(jnp.float32) \
+            + ec_j[:, :, None]
         s = jax.nn.leaky_relu(pre, negative_slope=negative_slope)
     if val is not None:
         s = s * val[:, None, :]
@@ -619,7 +714,8 @@ def _bwd_csc_chunk(args, b_col, v_full, tabsT, f, score, negative_slope,
     p = jnp.where(emask[:, None, :] & live,
                   jnp.exp(s - jnp.where(live, lse_n, 0.0)), 0.0)
     v_j = _take_rows(v_full, row_ids)                    # [C, h, f]
-    do_n = _take_src(doT, flat, C, W)
+    if do_n is None:
+        do_n = _take_src(tabsT[1], flat, C, W)
     dp = jnp.einsum("chf,cwhf->chw", v_j, do_n)
     p_num = p
     if drop is not None:
@@ -629,11 +725,13 @@ def _bwd_csc_chunk(args, b_col, v_full, tabsT, f, score, negative_slope,
     ds = p * (dp - delta_n)
     if val is not None:
         ds = ds * val[:, None, :]
-    do_n2 = _take_src(doT, _nocse(nbr).reshape(-1), C, W)
-    dv_j = jnp.einsum("chw,cwhf->chf", p_num, do_n2)
+    if not packed:
+        do_n = _take_src(tabsT[1], _nocse(nbr).reshape(-1), C, W)
+    dv_j = jnp.einsum("chw,cwhf->chf", p_num, do_n)
     if score == "dot":
-        q_n2 = _take_src(aT, _nocse(nbr).reshape(-1), C, W)
-        dk_j = jnp.einsum("chw,cwhf->chf", ds, q_n2)
+        if not packed:
+            a_n = _take_src(tabsT[0], _nocse(nbr).reshape(-1), C, W)
+        dk_j = jnp.einsum("chw,cwhf->chf", ds, a_n)
         return dk_j, dv_j
     dpre = jnp.where(pre >= 0, ds, ds * negative_slope)
     return jnp.sum(dpre, axis=2), dv_j                   # d e_col [C, h]
@@ -689,41 +787,44 @@ def _zero_tangents(tree):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _bucket_fused(meta, bg, seed, a, b, v):
-    score, slope, tile_width, rate = meta
+    score, slope, tile_width, rate, packed = meta
     drop = None if rate == 0.0 else (seed, rate, 0)
     out, _ = _any_forward(bg, a if score == "dot" else None,
                           b if score == "dot" else None, v, score,
                           a if score == "add" else None,
                           b if score == "add" else None,
-                          slope, tile_width, None, drop=drop)
+                          slope, tile_width, None, drop=drop, packed=packed)
     return out
 
 
 def _bucket_fused_fwd(meta, bg, seed, a, b, v):
-    score, slope, tile_width, rate = meta
+    score, slope, tile_width, rate, packed = meta
     drop = None if rate == 0.0 else (seed, rate, 0)
     out, lse = _any_forward(bg, a if score == "dot" else None,
                             b if score == "dot" else None, v, score,
                             a if score == "add" else None,
                             b if score == "add" else None,
-                            slope, tile_width, None, drop=drop)
+                            slope, tile_width, None, drop=drop,
+                            packed=packed)
     return out, (bg, seed, a, b, v, out, lse)
 
 
 def _bucket_fused_bwd(meta, res, do):
-    score, slope, _, rate = meta
+    score, slope, _, rate, packed = meta
     bg, seed, a, b, v, out, lse = res
     bgT = bg.transpose
     h, f = v.shape[1], v.shape[2]
     do = do.astype(jnp.float32)
     delta = jnp.einsum("nhf,nhf->nh", do, out.astype(jnp.float32))
 
-    # CSR direction: dQ / d e_row (+ recomputed P against the saved lse)
+    # CSR direction: dQ / d e_row (+ recomputed P against the saved lse).
+    # Packed: one k||v row gather per lane feeds all three contractions.
     tabs = _make_tabs(b if score == "dot" else None, v,
-                      b if score == "add" else None, score, None)
-    # dot-mode re-gathers K for the dQ contraction -> count it twice
+                      b if score == "add" else None, score, None,
+                      packed=packed)
+    # split dot-mode re-gathers K for the dQ contraction -> count it twice
     csr_bytes = _tabs_row_bytes(tabs) + (
-        _tabs_row_bytes(tabs[:1]) if score == "dot" else 0)
+        _tabs_row_bytes(tabs[:1]) if score == "dot" and not packed else 0)
     csr_shapes = [(h, f)] if score == "dot" else [(h,)]
     da = None
     for bg_b, sub_tabs, col_base in _iter_blocks(bg, tabs):
@@ -733,11 +834,19 @@ def _bucket_fused_bwd(meta, res, do):
         (da_b,) = _walk_backward(bg_b, csr_fn, csr_shapes, csr_bytes)
         da = da_b if da is None else da + da_b
 
-    # CSC direction over the transposed layout: dK / d e_col, and dV
+    # CSC direction over the transposed layout: dK / d e_col, and dV.
+    # Packed: one a||dO||lse||delta row per destination lane.
     ldT = jnp.stack([lse, delta], axis=-1)               # [N, h, 2]
-    tabsT = (a, do, ldT)
-    csc_bytes = 2 * _tabs_row_bytes((do,)) + _tabs_row_bytes((ldT,)) + (
-        2 * _tabs_row_bytes((a,)) if score == "dot" else _tabs_row_bytes((a,)))
+    if packed:
+        a3 = a[..., None] if score == "add" else a       # [N, h, fs]
+        tabsT = (jnp.concatenate(
+            [a3.astype(jnp.float32), do, ldT], axis=-1),)
+        csc_bytes = _tabs_row_bytes(tabsT)
+    else:
+        tabsT = (a, do, ldT)
+        csc_bytes = 2 * _tabs_row_bytes((do,)) + _tabs_row_bytes((ldT,)) + (
+            2 * _tabs_row_bytes((a,)) if score == "dot"
+            else _tabs_row_bytes((a,)))
     csc_shapes = [(h, f), (h, f)] if score == "dot" else [(h,), (h, f)]
     db = dv = None
     for bgT_b, subT, col_base in _iter_blocks(bgT, tabsT):
@@ -770,6 +879,7 @@ def bucket_graph_attention(
     dropout_rate: float = 0.0,
     dropout_rng=None,
     return_weights: bool = False,
+    packed: bool = True,
 ):
     """Fused SDDMM -> edge-softmax -> SpMM over all degree buckets.
 
@@ -787,9 +897,15 @@ def bucket_graph_attention(
     seed — no O(E) mask stash.
 
     ``gather_dtype=jnp.bfloat16`` halves the bytes of the gathered source
-    table; scores/accumulation stay fp32.  The gather is row-overhead
-    bound, so this saves memory rather than time; expect ~1e-2 relative
-    error — outside the reference's rtol=1e-3 bar, so it is opt-in.
+    table; scores/accumulation stay fp32; expect ~1e-2 relative error —
+    outside the reference's rtol=1e-3 bar, so it is opt-in.  With
+    ``packed=True`` a bf16 k||v row is 512B — the measured knee of the
+    per-row gather cost — so bf16 is the fast mode of this path.
+
+    ``packed=True`` (default) gathers ONE concatenated source row per edge
+    instead of one row per (operand, edge) — see ``_packed_gather`` for the
+    measured cost model.  ``packed=False`` restores the split per-operand
+    gathers (ablation baseline).
     """
     if score not in ("dot", "add"):
         raise ValueError(f"unknown score mode {score!r}")
@@ -824,11 +940,11 @@ def bucket_graph_attention(
     # back to XLA autodiff so d(val) propagates if differentiated.
     if (bg.transpose is not None and gather_dtype is None
             and not _layout_has_val(bg)):
-        meta = (score, negative_slope, tile_width, rate)
+        meta = (score, negative_slope, tile_width, rate, packed)
         if score == "dot":
             return _bucket_fused(meta, bg, seed, q, k, v)
         return _bucket_fused(meta, bg, seed, e_row, e_col, v)
     drop = None if rate == 0.0 else (seed, rate, 0)
     out, _ = _any_forward(bg, q, k, v, score, e_row, e_col, negative_slope,
-                          tile_width, gather_dtype, drop=drop)
+                          tile_width, gather_dtype, drop=drop, packed=packed)
     return out

@@ -42,6 +42,8 @@ from dfgnn_tpu.graph import DenseBatch
 from dfgnn_tpu.ops.edge_dropout import keep_scale, seed_from_key
 
 _NEG_BIG = -1e30
+_DEAD = 0.5 * _NEG_BIG  # max-clamp: keeps exp(s - m) underflowing to 0 on
+                        # masked lanes even when a row has no edges
 
 
 def _drop_scale(seed, rate, G, P):
@@ -71,15 +73,16 @@ def _resolve_precision(prec: Optional[str], dtype) -> jax.lax.Precision:
     return {"highest": jax.lax.Precision.HIGHEST, "default": jax.lax.Precision.DEFAULT}[prec]
 
 
-def _pick_graph_block(B: int, P: int, f: int, n_feat: int, n_mat: int) -> int:
+def _pick_graph_block(B: int, P: int, f: int, n_feat: int, n_mat: int,
+                      itemsize: int = 4) -> int:
     """Largest divisor of B whose VMEM working set fits the ~16MB budget.
 
     ``n_feat`` = number of [P, f] blocks live (inputs/outputs are double
-    buffered by the pipeline -> x2), ``n_mat`` = [P, P] fp32 intermediates
-    on the scoped stack (scores/probs/grads).
+    buffered by the pipeline -> x2, at the input ``itemsize``), ``n_mat`` =
+    [P, P] fp32 intermediates on the scoped stack (scores/probs/grads).
     """
     budget = 14 * 1024 * 1024  # leave headroom under the 16MB scoped limit
-    per_graph = n_feat * 2 * P * f * 4 + n_mat * P * P * 4 + 2 * P * P
+    per_graph = n_feat * 2 * P * f * itemsize + n_mat * P * P * 4 + 2 * P * P
     # The estimate undercounts compiler-kept temporaries for small f (many
     # heads); G=16 is past the pipelining knee anyway, so cap there.
     cap = min(max(1, budget // max(per_graph, 1)), 16)
@@ -120,8 +123,11 @@ def _bmm_tn(a, b, prec):  # a[g]^T @ b[g] : a dim1 x b dim1
 
 def _softmax_matmul(s, adj, v, o_ref, lse_ref, prec, seed_ref, rate):
     s = jnp.where(adj, s, _NEG_BIG)
-    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), _NEG_BIG)
-    ex = jnp.where(adj, jnp.exp(s - m), 0.0)
+    # clamping the row max at _DEAD (instead of _NEG_BIG) makes
+    # exp(s - m) underflow to exactly 0 on masked lanes even for empty
+    # rows (s - m = -0.5e30), so no post-exp re-mask pass is needed
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), _DEAD)
+    ex = jnp.exp(s - m)
     l = jnp.sum(ex, axis=-1, keepdims=True)
     inv = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
     if rate > 0.0:
@@ -133,12 +139,14 @@ def _softmax_matmul(s, adj, v, o_ref, lse_ref, prec, seed_ref, rate):
     # [G, P, P] buffer on the kernel's VMEM stack
     o = _bmm_nn(ex.astype(v.dtype), v, prec) * inv
     o_ref[:, 0, :, :] = o.astype(o_ref.dtype)
-    lse = jnp.where(l > 0, m + jnp.log(jnp.where(l > 0, l, 1.0)), _NEG_BIG)
-    lse_ref[0, :, :] = lse[:, :, 0]
+    if lse_ref is not None:
+        lse = jnp.where(l > 0, m + jnp.log(jnp.where(l > 0, l, 1.0)),
+                        _NEG_BIG)
+        lse_ref[0, :, :] = lse[:, :, 0]
 
 
-def _fwd_kernel_dot(seed_ref, q_ref, k_ref, v_ref, adj_ref, o_ref, lse_ref,
-                    *, slope, prec, rate):
+def _fwd_kernel_dot(seed_ref, q_ref, k_ref, v_ref, adj_ref, o_ref,
+                    lse_ref=None, *, slope, prec, rate):
     del slope
     q = q_ref[:, 0, :, :]
     k = k_ref[:, 0, :, :]
@@ -148,8 +156,8 @@ def _fwd_kernel_dot(seed_ref, q_ref, k_ref, v_ref, adj_ref, o_ref, lse_ref,
     _softmax_matmul(s, adj, v, o_ref, lse_ref, prec, seed_ref, rate)
 
 
-def _fwd_kernel_add(seed_ref, er_ref, ec_ref, v_ref, adj_ref, o_ref, lse_ref,
-                    *, slope, prec, rate):
+def _fwd_kernel_add(seed_ref, er_ref, ec_ref, v_ref, adj_ref, o_ref,
+                    lse_ref=None, *, slope, prec, rate):
     er = er_ref[0, :, :].astype(jnp.float32)
     ec = ec_ref[0, :, :].astype(jnp.float32)
     v = v_ref[:, 0, :, :]
@@ -172,17 +180,22 @@ def _specs(G, P, f):
 
 
 def _fwd(adj, q, k, v, e_row, e_col, score, slope, interpret, prec,
-         seed=None, rate=0.0):
+         seed=None, rate=0.0, want_lse=True):
     B, h, P, f = v.shape
     # n_mat=2: scores + exp live on the stack (normalisation is deferred to
     # a row-scale of the matmul output)
-    G = _pick_graph_block(B, P, f, n_feat=5, n_mat=2)
+    G = _pick_graph_block(B, P, f, n_feat=5, n_mat=2,
+                          itemsize=v.dtype.itemsize)
     sp = _specs(G, P, f)
-    out_shape = (
-        jax.ShapeDtypeStruct((B, h, P, f), v.dtype),
-        jax.ShapeDtypeStruct((h, B, P), jnp.float32),
-    )
-    out_specs = (sp["feat"], sp["row"])
+    if want_lse:
+        out_shape = (
+            jax.ShapeDtypeStruct((B, h, P, f), v.dtype),
+            jax.ShapeDtypeStruct((h, B, P), jnp.float32),
+        )
+        out_specs = (sp["feat"], sp["row"])
+    else:
+        out_shape = (jax.ShapeDtypeStruct((B, h, P, f), v.dtype),)
+        out_specs = (sp["feat"],)
     if seed is None:
         seed = jnp.zeros((), jnp.uint32)
     seed2d = seed.reshape(1, 1)
@@ -194,7 +207,7 @@ def _fwd(adj, q, k, v, e_row, e_col, score, slope, interpret, prec,
         kern = functools.partial(_fwd_kernel_add, slope=slope, prec=prec, rate=rate)
         ins = (seed2d, e_row, e_col, v, adj)
         in_specs = [sp["seed"], sp["row"], sp["row"], sp["feat"], sp["adj"]]
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kern,
         grid=(B // G, h),
         in_specs=in_specs,
@@ -202,6 +215,7 @@ def _fwd(adj, q, k, v, e_row, e_col, score, slope, interpret, prec,
         out_shape=out_shape,
         interpret=interpret,
     )(*ins)
+    return res if want_lse else (res[0], None)
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +278,10 @@ def _bwd_kernel_add(seed_ref, er_ref, ec_ref, v_ref, adj_ref, lse_ref, do_ref,
 def _bwd(score, slope, interpret, prec, rate, adj, seed, res, do):
     a, b_, v, lse, out = res
     B, h, P, f = v.shape
-    G = _pick_graph_block(B, P, f, n_feat=8, n_mat=8)
+    # n_mat=12: the backward keeps more [P, P] fp32 temporaries live than
+    # the forward (s, p, dp, ds, pn + mask casts); 8 undercounted by ~45%
+    # (measured scoped-vmem OOM at h=2, f=32, G=16 on v5e)
+    G = _pick_graph_block(B, P, f, n_feat=8, n_mat=12)
     sp = _specs(G, P, f)
     delta = jnp.einsum("bhpf,bhpf->hbp", do, out, preferred_element_type=jnp.float32)
     seed2d = seed.reshape(1, 1)
@@ -300,7 +317,7 @@ def _bwd(score, slope, interpret, prec, rate, adj, seed, res, do):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _flash_dot(adj, seed, q, k, v, slope, interpret, prec, rate):
     out, _ = _fwd(adj, q, k, v, None, None, "dot", slope, interpret, prec,
-                  seed=seed, rate=rate)
+                  seed=seed, rate=rate, want_lse=False)
     return out
 
 
@@ -322,7 +339,7 @@ _flash_dot.defvjp(_flash_dot_fwd, _flash_dot_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _flash_add(adj, seed, e_row, e_col, v, slope, interpret, prec, rate):
     out, _ = _fwd(adj, None, None, v, e_row, e_col, "add", slope, interpret,
-                  prec, seed=seed, rate=rate)
+                  prec, seed=seed, rate=rate, want_lse=False)
     return out
 
 

@@ -55,18 +55,20 @@ def main():
     layer16 = make_conv("gt", out_size=DIM, num_heads=HEADS, method="flash",
                         dtype=jnp2.bfloat16)
     params16 = layer16.init(jax.random.key(0), batch, x)
-    # bf16 inference: both implementations reported transparently.  Measured
-    # kernel-only (r2): XLA dense = 0.169 ms/batch — AT the 150MB HBM
-    # roofline (~890GB/s effective) — vs flash kernel 0.226 ms (pipeline
-    # overlap gap; bf16 softmax inside Mosaic is blocked by unsupported
-    # bf16 compares on this target).  The flash kernel wins fp32-exact and
-    # the fused training fw+bw; dense wins bf16 inference by ~25%.
+    # bf16 inference: all implementations reported transparently.
+    # "flash_fused" runs the WHOLE layer (QKV projection + attention) as
+    # one Pallas kernel (no q/k/v HBM round-trip) — the counter to XLA's
+    # projection-into-attention fusion that makes "dense" fast at bf16.
+    # Measured r2 (v5e): flash 0.32, flash_fused 0.27-0.28, dense
+    # 0.18-0.27 ms/batch (the dense timing swings with tunnel state; the
+    # Pallas timings are stable).  The flash kernel wins fp32-exact and
+    # the fused training fw+bw.
     bf16_by_impl = {
         impl: benchmark_chained(
             lambda x: layer16.apply(params16, batch, x, impl=impl), x,
             iters=100,
         )
-        for impl in ("flash", "dense")
+        for impl in ("flash", "dense", "flash_fused")
     }
     bf16_impl = min(bf16_by_impl, key=bf16_by_impl.get)
     bf16_ms = bf16_by_impl[bf16_impl]
@@ -117,6 +119,7 @@ def main():
                     "bf16_impl": bf16_impl,
                     "bf16_flash_ms": round(bf16_by_impl["flash"], 3),
                     "bf16_dense_ms": round(bf16_by_impl["dense"], 3),
+                    "bf16_flash_fused_ms": round(bf16_by_impl["flash_fused"], 3),
                     "bf16_edges_per_s": round(batch.n_edges / (bf16_ms / 1e3)),
                     "oracle_ms_per_subbatch": round(oracle_ms, 3),
                     "oracle_edges_per_s": round(oracle_eps),

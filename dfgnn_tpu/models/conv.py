@@ -49,6 +49,24 @@ def _merge_heads(out: jax.Array, g) -> jax.Array:
     return out.reshape(n, h * f)
 
 
+class _ProjParams(nn.Module):
+    """Parameter-only stand-in for :class:`nn.Dense`: registers the same
+    ``{kernel, bias}`` tree (same names, shapes, inits) but returns the raw
+    parameters instead of computing ``x @ W`` — the fused-layer kernel does
+    the projection itself (see ``flash_layer_attention``)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class GTConv(nn.Module):
     """Sparse multi-head scaled-dot attention (graph transformer conv).
 
@@ -56,6 +74,12 @@ class GTConv(nn.Module):
     bf16 (fp32 softmax/accumulation inside the kernel) — the TPU fast
     mode, ~2x memory bandwidth.  Default fp32 matches the reference's
     numerics bar.
+
+    On a :class:`DenseBatch`, bf16 mode (or ``impl="flash_fused"``) runs
+    the WHOLE layer — QKV projection + masked attention — as one Pallas
+    kernel (``flash_layer_attention``), eliminating the q/k/v HBM
+    round-trip; the parameter tree is identical to the decomposed path, so
+    the two are checkpoint-compatible and switchable per call.
     """
 
     out_size: int
@@ -68,6 +92,21 @@ class GTConv(nn.Module):
         head_dim = self.out_size // self.num_heads
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        method = impl or self.method
+        fused_layer = (
+            isinstance(g, DenseBatch) and g.val is None
+            and (method == "flash_fused"
+                 or (method == "auto" and self.dtype == jnp.bfloat16)))
+        if fused_layer:
+            from dfgnn_tpu.ops.pallas.flash_mask import flash_layer_attention
+
+            din = x.shape[-1]
+            wq, bq = _ProjParams(self.out_size, din, name="q_proj")()
+            wk, bk = _ProjParams(self.out_size, din, name="k_proj")()
+            wv, bv = _ProjParams(self.out_size, din, name="v_proj")()
+            return flash_layer_attention(
+                g, x, wq, bq, wk, bk, wv, bv,
+                num_heads=self.num_heads, scale=head_dim ** -0.5)
         q = nn.Dense(self.out_size, name="q_proj", dtype=self.dtype)(x) * (head_dim ** -0.5)
         k = nn.Dense(self.out_size, name="k_proj", dtype=self.dtype)(x)
         v = nn.Dense(self.out_size, name="v_proj", dtype=self.dtype)(x)

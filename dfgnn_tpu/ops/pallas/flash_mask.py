@@ -74,18 +74,19 @@ def _resolve_precision(prec: Optional[str], dtype) -> jax.lax.Precision:
 
 
 def _pick_graph_block(B: int, P: int, f: int, n_feat: int, n_mat: int,
-                      itemsize: int = 4) -> int:
+                      itemsize: int = 4, max_g: int = 16) -> int:
     """Largest divisor of B whose VMEM working set fits the ~16MB budget.
 
     ``n_feat`` = number of [P, f] blocks live (inputs/outputs are double
     buffered by the pipeline -> x2, at the input ``itemsize``), ``n_mat`` =
     [P, P] fp32 intermediates on the scoped stack (scores/probs/grads).
+    ``max_g`` caps the block: the estimate undercounts compiler-kept
+    temporaries for small f (many heads), so kernels opt IN to blocks past
+    the G=16 pipelining knee where their VMEM accounting is trusted.
     """
     budget = 14 * 1024 * 1024  # leave headroom under the 16MB scoped limit
     per_graph = n_feat * 2 * P * f * itemsize + n_mat * P * P * 4 + 2 * P * P
-    # The estimate undercounts compiler-kept temporaries for small f (many
-    # heads); G=16 is past the pipelining knee anyway, so cap there.
-    cap = min(max(1, budget // max(per_graph, 1)), 16)
+    cap = min(max(1, budget // max(per_graph, 1)), max_g)
     # Mosaic constraint on the [h, B, P] row operands (block (1, G, P)):
     # the second-to-last block dim G must be a multiple of 8 or equal B.
     g = B if B <= cap else 1
@@ -415,3 +416,194 @@ def flash_graph_attention(
     else:
         raise ValueError(f"unknown score mode {score!r}")
     return out.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Fused-LAYER kernel: QKV projection + masked attention in ONE Pallas call.
+#
+# Motivation (measured on v5e, PATTERN bs=1024 dim=128 bf16): XLA's dense
+# formulation of the whole conv layer fuses the q/k/v projections into the
+# attention einsums, so a separate attention kernel must round-trip 3x
+# [n, h, f] projections through HBM and loses on bandwidth (0.138 ms flash
+# vs 0.068 ms XLA dense).  Computing x@W inside the kernel removes that
+# traffic entirely: per (graph-block, head) step the kernel reads x once,
+# projects on the MXU, and attends — one kernel for the whole conv, one
+# step beyond the reference's two-kernel hyper_v2 design
+# (DFGNN/src/fused_gatconv/fused_gatconv_hyper_v2.cu:213-250).
+#
+# The custom VJP recomputes q/k/v (3 matmuls) and the forward lse in XLA,
+# reuses the flash backward kernel for dq/dk/dv, and contracts back to
+# (dx, dW, db) — training works, but the decomposed path remains the
+# recommended training route (one fewer forward recompute).
+# ---------------------------------------------------------------------------
+
+def _layer_kernel_dot(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                      wv_ref, bv_ref, adj_ref, o_ref, lse_ref=None, *,
+                      scale, prec, rate):
+    G, P, din = x_ref.shape
+    f = wq_ref.shape[-1]
+    x2 = x_ref[...].reshape(G * P, din)
+
+    hh = pl.program_id(1)
+
+    def proj(w_ref, b_ref, s):
+        y = jax.lax.dot_general(
+            x2, w_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        # biases ride as full [h, f] arrays (a head-blocked (1, f) spec
+        # violates Mosaic's trailing-dims constraint for f < 128)
+        y = (y + b_ref[hh][None, :].astype(jnp.float32)) * s
+        return y.astype(x2.dtype).reshape(G, P, f)
+
+    q = proj(wq_ref, bq_ref, scale)
+    k = proj(wk_ref, bk_ref, 1.0)
+    v = proj(wv_ref, bv_ref, 1.0)
+    adj = adj_ref[...] != 0
+    s = _bmm_nt(q, k, prec)
+    _softmax_matmul(s, adj, v, o_ref, lse_ref, prec, seed_ref, rate)
+
+
+def _layer_fwd(adj, x3, wq, bq, wk, bk, wv, bv, scale, interpret, prec,
+               want_lse=False):
+    B, P, din = x3.shape
+    h, _, f = wq.shape
+    # precise VMEM model for THIS kernel (trusted past the generic G=16
+    # cap): double-buffered x/out/adj blocks, q/k/v stack, 2 fp32 [P, P]
+    # intermediates, resident weights.  Lane dims are physically padded to
+    # 128 by Mosaic (measured scoped-vmem OOM at f=32: 20MB actual vs 10MB
+    # unpadded estimate), so account padded widths.
+    it = x3.dtype.itemsize
+    dp = -(-din // 128) * 128
+    fp = -(-f // 128) * 128
+    per_g = (2 * P * dp * it + 2 * P * fp * it + 3 * P * fp * it
+             + 2 * P * P * 4 + 2 * P * P)
+    fixed = 6 * 2 * dp * fp * it
+    budget = 14 * 1024 * 1024 - fixed
+    cap = min(max(budget // per_g, 1), 64)
+    G = 1
+    for cand in range(8, min(cap, B) + 1, 8):
+        if B % cand == 0:
+            G = cand
+    if B <= cap:
+        G = B
+    sp = _specs(G, P, f)
+    x_spec = pl.BlockSpec((G, P, din), lambda b, hh: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, din, f), lambda b, hh: (hh, 0, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((h, f), lambda b, hh: (0, 0),
+                          memory_space=pltpu.VMEM)
+    if want_lse:
+        out_shape = (
+            jax.ShapeDtypeStruct((B, h, P, f), x3.dtype),
+            jax.ShapeDtypeStruct((h, B, P), jnp.float32),
+        )
+        out_specs = (sp["feat"], sp["row"])
+    else:
+        out_shape = (jax.ShapeDtypeStruct((B, h, P, f), x3.dtype),)
+        out_specs = (sp["feat"],)
+    seed2d = jnp.zeros((1, 1), jnp.uint32)
+    kern = functools.partial(_layer_kernel_dot, scale=scale, prec=prec,
+                             rate=0.0)
+    res = pl.pallas_call(
+        kern,
+        grid=(B // G, h),
+        in_specs=[sp["seed"], x_spec, w_spec, b_spec, w_spec, b_spec,
+                  w_spec, b_spec, sp["adj"]],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(seed2d, x3, wq, bq, wk, bk, wv, bv, adj)
+    return res if want_lse else (res[0], None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _flash_layer_dot(scale, interpret, prec, adj, x3, wq, bq, wk, bk, wv, bv):
+    out, _ = _layer_fwd(adj, x3, wq, bq, wk, bk, wv, bv, scale, interpret,
+                        prec, want_lse=False)
+    return out
+
+
+def _flash_layer_dot_fwd(scale, interpret, prec, adj, x3, wq, bq, wk, bk,
+                         wv, bv):
+    out = _flash_layer_dot(scale, interpret, prec, adj, x3, wq, bq, wk, bk,
+                           wv, bv)
+    return out, (adj, x3, wq, bq, wk, bk, wv, bv, out)
+
+
+def _flash_layer_dot_bwd(scale, interpret, prec, res, do):
+    adj, x3, wq, bq, wk, bk, wv, bv, out = res
+    dt = x3.dtype
+
+    def proj(w, b, s):
+        y = jnp.einsum("bpd,hdf->bhpf", x3, w.astype(dt),
+                       precision=prec, preferred_element_type=jnp.float32)
+        return ((y + b.astype(jnp.float32)[None, :, None, :]) * s).astype(dt)
+
+    q = proj(wq, bq, scale)
+    k = proj(wk, bk, 1.0)
+    v = proj(wv, bv, 1.0)
+    _, lse = _fwd(adj, q, k, v, None, None, "dot", 0.2, interpret, prec,
+                  want_lse=True)
+    seed = jnp.zeros((), jnp.uint32)
+    dq, dk, dv = _bwd("dot", 0.2, interpret, prec, 0.0, adj, seed,
+                      (q, k, v, lse, out), do)
+    dq = dq.astype(jnp.float32) * scale
+    dk = dk.astype(jnp.float32)
+    dv = dv.astype(jnp.float32)
+    x32 = x3.astype(jnp.float32)
+    grads = []
+    dx = jnp.zeros(x3.shape, jnp.float32)
+    for w, dy in ((wq, dq), (wk, dk), (wv, dv)):
+        grads.append(jnp.einsum("bpd,bhpf->hdf", x32, dy))
+        grads.append(jnp.einsum("bhpf->hf", dy))
+        dx = dx + jnp.einsum("bhpf,hdf->bpd", dy, w.astype(jnp.float32))
+    dwq, dbq, dwk, dbk, dwv, dbv = grads
+    return (_float0_like(adj), dx.astype(x3.dtype), dwq, dbq, dwk, dbk,
+            dwv, dbv)
+
+
+_flash_layer_dot.defvjp(_flash_layer_dot_fwd, _flash_layer_dot_bwd)
+
+
+def flash_layer_attention(
+    batch: DenseBatch,
+    x: jax.Array,
+    wq: jax.Array, bq: jax.Array,
+    wk: jax.Array, bk: jax.Array,
+    wv: jax.Array, bv: jax.Array,
+    *,
+    num_heads: int,
+    scale: float,
+    interpret: Optional[bool] = None,
+    precision: Optional[str] = None,
+) -> jax.Array:
+    """Whole GT conv layer (QKV projection + masked attention) in one
+    Pallas kernel over a :class:`DenseBatch`.
+
+    ``x``: node-flat ``[B*P, din]``; ``w*``: Dense kernels ``[din, h*f]``;
+    ``b*``: biases ``[h*f]``.  Returns node-flat ``[B*P, h*f]``.
+    Numerics match the decomposed projection+flash path at the input
+    dtype's precision.  Differentiable via a recompute VJP.
+    """
+    if batch.val is not None:
+        raise NotImplementedError("fused layer path does not take edge values")
+    if interpret is None:
+        interpret = _interpret_default()
+    prec = _resolve_precision(precision, x.dtype)
+    B, P = batch.n_graphs, batch.np_pad
+    din = x.shape[-1]
+    h = num_heads
+    f = wq.shape[-1] // h
+
+    def arr_w(w):
+        return w.reshape(din, h, f).transpose(1, 0, 2).astype(x.dtype)
+
+    def arr_b(b):
+        return b.reshape(h, f).astype(jnp.float32)
+
+    adj = batch.adj.astype(jnp.uint8)
+    out = _flash_layer_dot(
+        float(scale), interpret, prec, adj, x.reshape(B, P, din),
+        arr_w(wq), arr_b(bq), arr_w(wk), arr_b(bk), arr_w(wv), arr_b(bv))
+    return out.transpose(0, 2, 1, 3).reshape(B * P, h * f)

@@ -88,3 +88,52 @@ def test_flash_large_p_multihead(rng):
     want = dense_graph_attention(batch, q, k, v)
     got = flash_graph_attention(batch, q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_layer_fused_matches_decomposed(rng):
+    """Fused-layer kernel (QKV projection + attention in one pallas_call)
+    vs the decomposed Dense+flash path: same params, same output, same
+    grads, identical parameter tree."""
+    from dfgnn_tpu.models import make_conv
+
+    batch = _batch(rng, B=4)
+    nf = batch.n_graphs * batch.np_pad
+    x = jnp.asarray(rng.standard_normal((nf, 48)).astype(np.float32))
+    layer = make_conv("gt", out_size=64, num_heads=2, method="flash")
+    params = layer.init(jax.random.key(0), batch, x)
+    params_fused = layer.init(jax.random.key(0), batch, x, impl="flash_fused")
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_fused))
+
+    ref = layer.apply(params, batch, x, impl="flash")
+    got = layer.apply(params, batch, x, impl="flash_fused")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(p, impl):
+        return jnp.sum(layer.apply(p, batch, x, impl=impl) ** 2) * 1e-3
+
+    g1 = jax.grad(lambda p: loss(p, "flash"))(params)
+    g2 = jax.grad(lambda p: loss(p, "flash_fused"))(params)
+    scale = max(float(jnp.max(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(g1))
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-4
+
+
+def test_flash_layer_fused_bf16_auto(rng):
+    """dtype=bf16 + method auto routes a DenseBatch through the fused-layer
+    kernel and stays close to the XLA dense bf16 formulation."""
+    from dfgnn_tpu.models import make_conv
+
+    batch = _batch(rng, B=2)
+    nf = batch.n_graphs * batch.np_pad
+    x = jnp.asarray(rng.standard_normal((nf, 32)).astype(np.float32))
+    layer = make_conv("gt", out_size=32, num_heads=1, method="auto",
+                      dtype=jnp.bfloat16)
+    params = layer.init(jax.random.key(0), batch, x)
+    got = layer.apply(params, batch, x).astype(jnp.float32)
+    want = layer.apply(params, batch, x, impl="dense").astype(jnp.float32)
+    scale = float(jnp.max(jnp.abs(want))) + 1e-9
+    assert float(jnp.max(jnp.abs(got - want))) / scale < 5e-2

@@ -9,9 +9,10 @@ here on one dataset:
 
 batched (PATTERN-like):
   reference -> dense (XLA masked) -> flash (Pallas kernel)
+  -> flash_fused (whole layer, one kernel)
 full graph (reddit-like):
   reference -> flat buckets, pow2 ladder, no segments -> +x1.5 ladder
-  -> +segments -> +source blocking (auto)
+  -> +segments -> +source blocking -> +packed k||v gather
 
 Usage:
     python scripts/ablation.py [--dim 128] [--batch-size 256]
@@ -59,6 +60,9 @@ def main(argv=None):
          lambda x: layer.apply(params, batch, x, impl="dense"), batch.n_edges),
         ("flash (Pallas kernel)",
          lambda x: layer.apply(params, batch, x, impl="flash"), batch.n_edges),
+        ("flash_fused (QKV proj + attention, 1 kernel)",
+         lambda x: layer.apply(params, batch, x, impl="flash_fused"),
+         batch.n_edges),
     ]:
         layer = make_conv("gt", out_size=dim, num_heads=heads)
         params = layer.init(jax.random.key(0), batch, x)
@@ -81,6 +85,8 @@ def main(argv=None):
          formats.build_buckets(g, src_block_rows=None)),
         ("+ source blocking (forced)",
          formats.build_buckets(g, src_block_rows=32768)),
+        ("+ packed k||v single gather per edge",
+         formats.build_buckets(g, src_block_rows=32768)),
     ]
     ref_ms = benchmark_chained(
         lambda q, k, v: graph_attention(g.device_put(), q, k, v,
@@ -90,8 +96,10 @@ def main(argv=None):
           f"{g.n_edges/(ref_ms/1e3):.3e} edges/s", flush=True)
     for label, layout in layouts:
         layout = layout.device_put()
+        packed = label.startswith("+ packed")
         ms = benchmark_chained(
-            lambda q, k, v, layout: bucket_graph_attention(layout, q, k, v),
+            lambda q, k, v, layout, packed=packed: bucket_graph_attention(
+                layout, q, k, v, packed=packed),
             q, k, v, layout, iters=10)
         pad = layout.padded_edges / g.n_edges
         print(f"  {label:44s} {ms:8.3f} ms  {g.n_edges/(ms/1e3):.3e} edges/s"

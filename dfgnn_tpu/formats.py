@@ -120,13 +120,15 @@ class BucketedGraph:
 class BlockedBucketedGraph:
     """Source-blocked bucketed layout for LARGE full graphs.
 
-    Measured on TPU v5e: XLA's random row-gather runs ~2x slower once the
-    gathered table exceeds ~100MB (8.0 vs 4.9 ns/row at 1KB rows),
-    regardless of index locality.  Splitting the SOURCE nodes into blocks
-    of ``block_rows`` and grouping each row's edges by source block keeps
-    every gather inside one barriered sub-table slice at the fast rate;
-    per-block partial rows merge exactly via their logsumexps (the online
-    softmax combine across blocks).
+    Measured on TPU v5e (scripts/microbench_gather.py, honest
+    carry-dependent timing): XLA's random row-gather runs ~2.5x slower
+    once the gathered table exceeds a ~100MB knee (10.8 vs 4.2 ns/row at
+    1KB packed rows), regardless of index locality.  Splitting the SOURCE
+    nodes into blocks of ``block_rows`` and grouping each row's edges by
+    source block keeps every gather inside one barriered sub-table slice
+    at the fast rate; per-block partial rows merge exactly via their
+    logsumexps (the online softmax combine across blocks).  Measured e2e
+    (reddit standin, dim 128): 110 ms blocked vs 221 ms flat.
 
     ``blocks[b]`` is a normal :class:`BucketedGraph` over the SAME row
     space whose ``nbr`` ids are REBASED to block-local (sentinel =

@@ -93,6 +93,11 @@ class GTConv(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         method = impl or self.method
+        if method == "auto":
+            # same ablation override the dispatcher honours
+            import os
+
+            method = os.environ.get("DFGNN_TPU_FORCE_METHOD", "auto")
         fused_layer = (
             isinstance(g, DenseBatch) and g.val is None
             and (method == "flash_fused"

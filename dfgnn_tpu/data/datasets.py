@@ -93,10 +93,14 @@ _BATCH_ANCHORS = {
     "CIFAR10": (117, 8, "float", 5, 10, "graph_classification"),
     "PascalVOC-SP": (479, 8, "float", 14, 21, "node_classification"),
     "COCO-SP": (477, 8, "float", 14, 81, "node_classification"),
-    "Peptides-func": (151, 2, "atom", 9, 10, "graph_classification"),
+    # Peptides-func / molpcba are MULTI-LABEL: C independent binary tasks
+    # trained with per-task BCE (ref uses BCEWithLogitsLoss on [G, C]
+    # targets, train_gtconv.py:156); molpcba additionally has missing
+    # labels (NaN holes) that the loss must mask out.
+    "Peptides-func": (151, 2, "atom", 9, 10, "graph_classification_multilabel"),
     "Peptides-struct": (151, 2, "atom", 9, 11, "graph_regression"),
     "ogbg-molhiv": (26, 2, "atom", 9, 1, "graph_classification"),
-    "ogbg-molpcba": (26, 2, "atom", 9, 128, "graph_classification"),
+    "ogbg-molpcba": (26, 2, "atom", 9, 128, "graph_classification_multilabel"),
 }
 
 
@@ -231,6 +235,11 @@ def _synthetic_batched(name: str, n_graphs: int) -> BatchedGraphDataset:
                 labels_l.append(rng.integers(0, n_classes, size=n))
             elif task == "graph_regression":
                 labels_l.append(rng.standard_normal(n_classes).astype(np.float32))
+            elif task == "graph_classification_multilabel":
+                y = rng.integers(0, 2, size=n_classes).astype(np.float32)
+                if name == "ogbg-molpcba":  # molpcba-style missing labels
+                    y[rng.random(n_classes) < 0.3] = np.nan
+                labels_l.append(y)
             else:
                 labels_l.append(rng.integers(0, 2 if n_classes == 1 else n_classes))
         labels = labels_l if task == "node_classification" else np.asarray(labels_l)

@@ -24,7 +24,7 @@ internally.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -57,10 +57,11 @@ class _ProjParams(nn.Module):
 
     features: int
     in_features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel", self.kernel_init,
                             (self.in_features, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
@@ -139,16 +140,49 @@ class GATConv(nn.Module):
     negative_slope: float = 0.2
     dropout: float = 0.0
     method: str = "auto"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, g, x, impl: Optional[str] = None, deterministic: bool = True):
         # reference: xavier_normal_ with relu gain sqrt(2) -> variance 2.0
         xavier_relu = nn.initializers.variance_scaling(2.0, "fan_avg", "normal")
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        method = impl or self.method
+        if method == "auto":
+            import os
+
+            method = os.environ.get("DFGNN_TPU_FORCE_METHOD", "auto")
+        rate0 = 0.0 if deterministic else self.dropout
+        fused_layer = (
+            isinstance(g, DenseBatch) and g.val is None
+            and (method == "flash_fused"
+                 or (method == "auto" and self.dtype == jnp.bfloat16)))
+        if fused_layer:
+            # whole layer (W proj + a_l/a_r scoring + attention + dropout)
+            # in ONE Pallas kernel; parameter tree identical to the
+            # decomposed path below (checkpoint-compatible)
+            from dfgnn_tpu.ops.pallas.flash_mask import (
+                flash_layer_attention_gat,
+            )
+
+            w, b = _ProjParams(self.out_size * self.num_heads, x.shape[-1],
+                               kernel_init=xavier_relu, name="W")()
+            a_l = self.param("a_l", xavier_relu,
+                             (self.out_size, self.num_heads))
+            a_r = self.param("a_r", xavier_relu,
+                             (self.out_size, self.num_heads))
+            return flash_layer_attention_gat(
+                g, x, w, b, a_l, a_r, num_heads=self.num_heads,
+                negative_slope=self.negative_slope, dropout_rate=rate0,
+                dropout_rng=(self.make_rng("dropout") if rate0 > 0.0
+                             else None))
         z = nn.Dense(
             self.out_size * self.num_heads,
             name="W",
             use_bias=True,
             kernel_init=xavier_relu,
+            dtype=self.dtype,
         )(x)
         a_l = self.param("a_l", xavier_relu, (self.out_size, self.num_heads))
         a_r = self.param("a_r", xavier_relu, (self.out_size, self.num_heads))
@@ -160,7 +194,7 @@ class GATConv(nn.Module):
             b, p = g.n_graphs, g.np_pad
             e_l = e_l.reshape(b, p, self.num_heads)
             e_r = e_r.reshape(b, p, self.num_heads)
-        rate = 0.0 if deterministic else self.dropout
+        rate = rate0
         rng = self.make_rng("dropout") if rate > 0.0 else None
         out = graph_attention(
             g,

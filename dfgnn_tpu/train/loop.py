@@ -51,6 +51,19 @@ def make_loss_fn(model, task: str, num_classes: int):
             logits = model.apply(params, g, x)
             l = optax.sigmoid_binary_cross_entropy(logits.squeeze(-1), y.astype(jnp.float32))
             return jnp.sum(l * mask) / jnp.maximum(jnp.sum(mask), 1)
+    elif task == "graph_classification_multilabel":
+        # C independent binary tasks (molpcba / Peptides-func): per-task
+        # BCE over [G, C] float targets, NaN = missing label (masked out),
+        # matching the reference's BCEWithLogitsLoss on ogb's is-labeled
+        # mask (train_gtconv.py:156,168-171).
+        def loss(params, g, x, y, mask):
+            logits = model.apply(params, g, x)
+            y = y.astype(jnp.float32)
+            labeled = ~jnp.isnan(y) & mask[:, None].astype(bool)
+            y_safe = jnp.where(labeled, y, 0.0)
+            l = optax.sigmoid_binary_cross_entropy(logits, y_safe)
+            l = jnp.where(labeled, l, 0.0)
+            return jnp.sum(l) / jnp.maximum(jnp.sum(labeled), 1)
     elif task in ("graph_classification", "node_classification"):
         def loss(params, g, x, y, mask):
             logits = model.apply(params, g, x)

@@ -122,6 +122,120 @@ def test_flash_layer_fused_matches_decomposed(rng):
         assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-4
 
 
+def _with_val(rng, batch):
+    adj = np.asarray(batch.adj)
+    val = np.where(adj, rng.standard_normal(adj.shape).astype(np.float32),
+                   0.0)
+    return batch.replace(val=jnp.asarray(val))
+
+
+@pytest.mark.parametrize("score", ["dot", "add"])
+def test_flash_edge_values(rng, score):
+    """Edge-value score scaling in the flash kernels (VERDICT r2 item 6):
+    a val-carrying DenseBatch runs the Pallas path and matches the dense
+    formulation, forward and grads (ref: fused_gtconv_hyper.cu:208-222)."""
+    batch = _with_val(rng, _batch(rng, B=2))
+    B, P, h, f = batch.n_graphs, batch.np_pad, 2, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((B, P, h, f)).astype(np.float32))
+               for _ in range(3))
+    er, ec = (jnp.asarray(rng.standard_normal((B, P, h)).astype(np.float32))
+              for _ in range(2))
+    kw = dict(score=score)
+    if score == "add":
+        args = (None, None, v)
+        kw.update(e_row=er, e_col=ec)
+    else:
+        args = (q, k, v)
+    want = dense_graph_attention(batch, *args, **kw)
+    got = flash_graph_attention(batch, *args, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(fn, v):
+        a = (q, k, v) if score == "dot" else (None, None, v)
+        return jnp.sum(fn(batch, *a, **kw) ** 2)
+
+    gf = jax.grad(lambda v: loss(flash_graph_attention, v))(v)
+    gd = jax.grad(lambda v: loss(dense_graph_attention, v))(v)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_edge_values_via_dispatch(rng):
+    """auto on a val-carrying DenseBatch now hits the Pallas flash path
+    (no silent dense reroute) and matches the oracle."""
+    from dfgnn_tpu.ops import graph_attention
+
+    batch = _with_val(rng, _batch(rng, B=2))
+    B, P, h, f = batch.n_graphs, batch.np_pad, 1, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((B, P, h, f)).astype(np.float32))
+               for _ in range(3))
+    got = graph_attention(batch, q, k, v, method="flash")
+    want = dense_graph_attention(batch, q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gat_fused_layer_matches_decomposed(rng):
+    """Whole-layer GAT kernel (W proj + a_l/a_r scoring + attention in one
+    pallas_call, VERDICT r2 item 6 / ref hyper_v2 N11): same params as the
+    decomposed path, same output, same grads, dropout parity."""
+    from dfgnn_tpu.models import make_conv
+
+    batch = _batch(rng, B=4)
+    nf = batch.n_graphs * batch.np_pad
+    x = jnp.asarray(rng.standard_normal((nf, 24)).astype(np.float32))
+    layer = make_conv("gat", out_size=16, num_heads=2)
+    params = layer.init(jax.random.key(0), batch, x)
+    params_fused = layer.init(jax.random.key(0), batch, x, impl="flash_fused")
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_fused))
+
+    ref = layer.apply(params, batch, x, impl="flash")
+    got = layer.apply(params, batch, x, impl="flash_fused")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(p, impl):
+        return jnp.sum(layer.apply(p, batch, x, impl=impl) ** 2) * 1e-3
+
+    g1 = jax.grad(lambda p: loss(p, "flash"))(params)
+    g2 = jax.grad(lambda p: loss(p, "flash_fused"))(params)
+    scale = max(float(jnp.max(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(g1))
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-4
+
+    # in-kernel dropout: fused layer == decomposed flash with same seed
+    layer_d = make_conv("gat", out_size=16, num_heads=2, dropout=0.4)
+    pd = layer_d.init(jax.random.key(0), batch, x)
+    od_f = layer_d.apply(pd, batch, x, impl="flash_fused",
+                         deterministic=False,
+                         rngs={"dropout": jax.random.key(5)})
+    od_d = layer_d.apply(pd, batch, x, impl="flash", deterministic=False,
+                         rngs={"dropout": jax.random.key(5)})
+    np.testing.assert_allclose(np.asarray(od_f), np.asarray(od_d),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gat_fused_layer_bf16_auto(rng):
+    """GAT dtype=bf16 + auto routes a DenseBatch through the one-kernel
+    fused layer and stays close to the fp32 decomposed output."""
+    from dfgnn_tpu.models import make_conv
+
+    batch = _batch(rng, B=2)
+    nf = batch.n_graphs * batch.np_pad
+    x = jnp.asarray(rng.standard_normal((nf, 16)).astype(np.float32))
+    layer = make_conv("gat", out_size=16, num_heads=1, dtype=jnp.bfloat16)
+    params = layer.init(jax.random.key(0), batch, x)
+    got = layer.apply(params, batch, x).astype(jnp.float32)
+    layer32 = make_conv("gat", out_size=16, num_heads=1)
+    want = layer32.apply(params, batch, x, impl="flash").astype(jnp.float32)
+    scale = float(jnp.max(jnp.abs(want))) + 1e-9
+    assert float(jnp.max(jnp.abs(got - want))) / scale < 5e-2
+
+
 def test_flash_layer_fused_bf16_auto(rng):
     """dtype=bf16 + method auto routes a DenseBatch through the fused-layer
     kernel and stays close to the XLA dense bf16 formulation."""

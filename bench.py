@@ -4,11 +4,17 @@
 Config mirrors the reference's canonical batched benchmark
 (``bash/experiment/fig1_batch_graph.sh``: conv gt, dim 128, heads 1,
 batch 1024, PATTERN) on synthetic SBM graphs matching PATTERN's measured
-shape (~119 nodes, deg ~51).
+shape (~119 nodes, deg ~51), plus the per-conv-family sweep the reference
+drives (conv in {gt, gat, agnn}, same script).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 value = fused edges/s/chip and vs_baseline = speedup over the unfused
 XLA segment-op oracle (the role DGL-sparse plays for the reference).
+
+Stability protocol: every headline comparison row reports a MEDIAN over
+>=5 independent differential measurements plus the min-max spread
+(``benchmark_chained_stats``), so tunnel-latency jitter cannot pick the
+winner between implementations ~10% apart.
 """
 
 import json
@@ -16,6 +22,10 @@ import os
 import sys
 
 import numpy as np
+
+
+def _stat(ms, spread):
+    return {"ms": round(ms, 3), "spread_ms": round(spread, 3)}
 
 
 def main():
@@ -29,7 +39,9 @@ def main():
     from dfgnn_tpu.data.synthetic import pattern_like_batch
     from dfgnn_tpu.graph import DenseBatch, Graph
     from dfgnn_tpu.models import make_conv
-    from dfgnn_tpu.utils.benchmark import benchmark_chained
+    from dfgnn_tpu.utils.benchmark import (
+        benchmark_chained, benchmark_chained_stats,
+    )
 
     rng = np.random.default_rng(0)
     BS, DIM, HEADS = 1024, 128, 1
@@ -46,32 +58,41 @@ def main():
 
         with profile_region("bench_flash_batch"):
             jax.block_until_ready(layer.apply(params, batch, x))
-    fused_ms = benchmark_chained(
-        lambda x: layer.apply(params, batch, x), x, iters=60
+    fused_ms, fused_spread = benchmark_chained_stats(
+        lambda x: layer.apply(params, batch, x), x, iters=60, reps=5
     )
     fused_eps = batch.n_edges / (fused_ms / 1e3)
 
-    import jax.numpy as jnp2
-    layer16 = make_conv("gt", out_size=DIM, num_heads=HEADS, method="flash",
-                        dtype=jnp2.bfloat16)
-    params16 = layer16.init(jax.random.key(0), batch, x)
-    # bf16 inference: all implementations reported transparently.
-    # "flash_fused" runs the WHOLE layer (QKV projection + attention) as
-    # one Pallas kernel (no q/k/v HBM round-trip) — the counter to XLA's
-    # projection-into-attention fusion that makes "dense" fast at bf16.
-    # Measured r2 (v5e): flash 0.32, flash_fused 0.27-0.28, dense
-    # 0.18-0.27 ms/batch (the dense timing swings with tunnel state; the
-    # Pallas timings are stable).  The flash kernel wins fp32-exact and
-    # the fused training fw+bw.
-    bf16_by_impl = {
-        impl: benchmark_chained(
-            lambda x: layer16.apply(params16, batch, x, impl=impl), x,
-            iters=100,
-        )
-        for impl in ("flash", "dense", "flash_fused")
-    }
-    bf16_impl = min(bf16_by_impl, key=bf16_by_impl.get)
-    bf16_ms = bf16_by_impl[bf16_impl]
+    # bf16 inference, all implementations reported transparently:
+    #   flash       = decomposed projections + masked flash Pallas kernel
+    #   dense       = XLA's dense masked formulation of the whole layer
+    #   flash_fused = whole layer (QKV proj + attention) in ONE Pallas call
+    detail = {}
+
+    def bf16_sweep(conv, key):
+        layer16 = make_conv(conv, out_size=DIM, num_heads=HEADS,
+                            method="flash", dtype=jnp.bfloat16)
+        p16 = layer16.init(jax.random.key(0), batch, x)
+        impls = ("flash", "dense", "flash_fused") if conv in ("gt", "gat") \
+            else ("flash", "dense")
+        by_impl, by_spread = {}, {}
+        for impl in impls:
+            ms, sp = benchmark_chained_stats(
+                lambda x, impl=impl: layer16.apply(p16, batch, x, impl=impl),
+                x, iters=100, reps=5)
+            by_impl[impl] = ms
+            by_spread[impl] = sp
+        best = min(by_impl, key=by_impl.get)
+        detail[f"{key}_impl"] = best
+        detail[f"{key}_ms"] = round(by_impl[best], 3)
+        for impl in impls:
+            detail[f"{key}_{impl}_ms"] = round(by_impl[impl], 3)
+            detail[f"{key}_{impl}_spread_ms"] = round(by_spread[impl], 3)
+        return by_impl[best]
+
+    bf16_ms = bf16_sweep("gt", "bf16")
+    bf16_gat_ms = bf16_sweep("gat", "gat_bf16")
+    bf16_sweep("agnn", "agnn_bf16")
 
     # Unfused oracle on a subset (memory: O(E * dim) gathered temporaries),
     # compared by rate.
@@ -100,12 +121,50 @@ def main():
         jnp.asarray(rng.standard_normal((gf.n_nodes, HEADS, DIM)).astype(np.float32))
         for _ in range(3)
     )
-    full_ms = benchmark_chained(
+    full_ms, full_spread = benchmark_chained_stats(
         lambda qf, kf, vf, bgf: bucket_graph_attention(bgf, qf, kf, vf),
-        qf, kf, vf, bgf, iters=10,
+        qf, kf, vf, bgf, iters=5, reps=3,
     )
     full_eps = gf.n_edges / (full_ms / 1e3)
 
+    # Full-graph training step: forward + fused custom backward (the
+    # flagship custom_vjp path; reference timing protocol analog:
+    # train_full_graph_timing.py:185-201 measures fw and fw+bw splits).
+    bgt = formats.preprocess("bucketed_train", gf).device_put()
+
+    def fwbw(qf, kf, vf, bgt):
+        def loss(q, k, v):
+            out = bucket_graph_attention(bgt, q, k, v)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        _, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(qf, kf, vf)
+        return grads[0]
+
+    fwbw_ms, fwbw_spread = benchmark_chained_stats(
+        fwbw, qf, kf, vf, bgt, iters=4, reps=3,
+    )
+    fwbw_eps = gf.n_edges / (fwbw_ms / 1e3)
+
+    detail.update(
+        {
+            "fused_ms_per_batch": round(fused_ms, 3),
+            "fused_spread_ms": round(fused_spread, 3),
+            "bf16_ms_per_batch": round(bf16_ms, 3),
+            "bf16_edges_per_s": round(batch.n_edges / (bf16_ms / 1e3)),
+            "gat_bf16_edges_per_s": round(batch.n_edges / (bf16_gat_ms / 1e3)),
+            "oracle_ms_per_subbatch": round(oracle_ms, 3),
+            "oracle_edges_per_s": round(oracle_eps),
+            "n_edges": batch.n_edges,
+            "full_graph_reddit_edges_per_s": round(full_eps),
+            "full_graph_ms": round(full_ms, 3),
+            "full_graph_spread_ms": round(full_spread, 3),
+            "full_graph_fwbw_ms": round(fwbw_ms, 3),
+            "full_graph_fwbw_spread_ms": round(fwbw_spread, 3),
+            "full_graph_fwbw_edges_per_s": round(fwbw_eps),
+            "full_graph_n_edges": gf.n_edges,
+            "backend": jax.default_backend(),
+        }
+    )
     print(
         json.dumps(
             {
@@ -113,22 +172,7 @@ def main():
                 "value": round(fused_eps),
                 "unit": "edges/s",
                 "vs_baseline": round(fused_eps / oracle_eps, 3),
-                "detail": {
-                    "fused_ms_per_batch": round(fused_ms, 3),
-                    "bf16_ms_per_batch": round(bf16_ms, 3),
-                    "bf16_impl": bf16_impl,
-                    "bf16_flash_ms": round(bf16_by_impl["flash"], 3),
-                    "bf16_dense_ms": round(bf16_by_impl["dense"], 3),
-                    "bf16_flash_fused_ms": round(bf16_by_impl["flash_fused"], 3),
-                    "bf16_edges_per_s": round(batch.n_edges / (bf16_ms / 1e3)),
-                    "oracle_ms_per_subbatch": round(oracle_ms, 3),
-                    "oracle_edges_per_s": round(oracle_eps),
-                    "n_edges": batch.n_edges,
-                    "full_graph_reddit_edges_per_s": round(full_eps),
-                    "full_graph_ms": round(full_ms, 3),
-                    "full_graph_n_edges": gf.n_edges,
-                    "backend": jax.default_backend(),
-                },
+                "detail": detail,
             }
         )
     )

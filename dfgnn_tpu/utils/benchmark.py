@@ -54,17 +54,8 @@ def benchmark(fn: Callable, *args, warmup: int = 3, iters: int = 10):
     return out, (time.perf_counter() - t0) / iters * 1e3
 
 
-def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
-    """Mean ms per iteration with the loop *inside* one jitted program.
-
-    Each iteration is data-dependent on the previous (scalar carry folded
-    into the first argument) so XLA cannot elide or overlap iterations; the
-    full output is consumed via a sum so dead-code elimination cannot slice
-    the computation.  Use this for microsecond-scale kernels measured over
-    a high-latency dispatch path.
-    """
-
-    first = args[0]
+def _chained_programs(fn: Callable, first, iters: int, n_lo: int = 2):
+    """Build the (lo, hi) jitted chained-loop pair for differential timing."""
 
     def make(n):
         def run(seed, first, *rest):
@@ -80,6 +71,31 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
 
         return jax.jit(run)
 
+    return make(n_lo), make(n_lo + iters)
+
+
+def _fresh_seed():
+    # seeds must be globally unique: the remote execution path caches
+    # results keyed on (program, input values) ACROSS processes.  They must
+    # also be LARGE enough that ``first + seed`` differs bitwise from
+    # ``first`` (a ~1e-12 seed added to O(1) data rounds away, making every
+    # timed execution value-identical and therefore dedupe-able).
+    import random as _random
+
+    return jnp.full((), 0.05 + _random.random() * 0.1)
+
+
+def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
+    """Mean ms per iteration with the loop *inside* one jitted program.
+
+    Each iteration is data-dependent on the previous (scalar carry folded
+    into the first argument) so XLA cannot elide or overlap iterations; the
+    full output is consumed via a sum so dead-code elimination cannot slice
+    the computation.  Use this for microsecond-scale kernels measured over
+    a high-latency dispatch path.
+    """
+
+    first = args[0]
     # Two measurement constraints of the remote-attached TPU path:
     #  1. repeated executions with identical argument values are
     #     deduplicated -> every timed call gets a fresh seed;
@@ -91,15 +107,6 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
     #     compute difference dominate the tunnel jitter, so when the delta
     #     is not clearly resolved we double ``iters`` and retry.
     rest = args[1:]
-    # seeds must be globally unique: the remote execution path caches
-    # results keyed on (program, input values) ACROSS processes.  They must
-    # also be LARGE enough that ``first + seed`` differs bitwise from
-    # ``first`` (a ~1e-12 seed added to O(1) data rounds away, making every
-    # timed execution value-identical and therefore dedupe-able).
-    import random as _random
-
-    def fresh():
-        return jnp.full((), 0.05 + _random.random() * 0.1)
 
     def timed(j, seed):
         # Synchronise by FETCHING the scalar result: on the remote-attached
@@ -110,16 +117,15 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
         return time.perf_counter() - t0
 
     def best(j, repeats=3):
-        ts = [timed(j, fresh()) for _ in range(repeats)]
+        ts = [timed(j, _fresh_seed()) for _ in range(repeats)]
         return min(ts), max(ts) - min(ts)
 
-    n_lo = 2
     resolved = False
     for _attempt in range(6):
         used_iters = iters
-        lo, hi = make(n_lo), make(n_lo + used_iters)
-        timed(lo, fresh())  # warm compile
-        timed(hi, fresh())
+        lo, hi = _chained_programs(fn, first, used_iters)
+        timed(lo, _fresh_seed())  # warm compile
+        timed(hi, _fresh_seed())
         t_lo, spread_lo = best(lo)
         t_hi, spread_hi = best(hi)
         diff = t_hi - t_lo
@@ -139,6 +145,42 @@ def benchmark_chained(fn: Callable, *args, iters: int = 20) -> float:
             file=sys.stderr,
         )
     return max(diff, 1e-9) / used_iters * 1e3
+
+
+def benchmark_chained_stats(fn: Callable, *args, iters: int = 100,
+                            reps: int = 5):
+    """Median and spread over ``reps`` independent differential
+    measurements (the stability protocol for headline comparisons: tunnel
+    latency jitter must not be allowed to pick a winner between two
+    implementations ~10% apart).
+
+    The compiled (lo, hi) chained-program pair is reused across reps, so
+    the extra repetitions cost execution time only, not compile time.
+    Returns ``(median_ms, spread_ms)`` where spread = max - min over the
+    per-rep differential estimates.
+    """
+    first = args[0]
+    rest = args[1:]
+    lo, hi = _chained_programs(fn, first, iters)
+
+    def timed(j, seed):
+        t0 = time.perf_counter()
+        np.asarray(j(seed, first, *rest))
+        return time.perf_counter() - t0
+
+    timed(lo, _fresh_seed())  # warm compile
+    timed(hi, _fresh_seed())
+    samples = []
+    for _ in range(reps):
+        # min-of-3 per rep: each rep is itself robust to one-off tunnel
+        # stalls, then the median across reps bounds the remaining drift
+        t_lo = min(timed(lo, _fresh_seed()) for _ in range(3))
+        t_hi = min(timed(hi, _fresh_seed()) for _ in range(3))
+        samples.append(max(t_hi - t_lo, 1e-9) / iters * 1e3)
+    samples.sort()
+    med = samples[len(samples) // 2] if reps % 2 else 0.5 * (
+        samples[reps // 2 - 1] + samples[reps // 2])
+    return med, samples[-1] - samples[0]
 
 
 def check_correct(a, b, *, rtol: float = 1e-3, atol: float = 1e-5,

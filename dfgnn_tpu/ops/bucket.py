@@ -88,10 +88,15 @@ def _drop_ctx(seed, rate, col_base=0, row_base=0, src_map=None):
 
 
 def _drop_lane_ids(drop, lanes):
-    """Global node ids for the lane side [C, W]."""
+    """Global node ids for the lane side [C, W].
+
+    The block rebase (``col_base``) applies FIRST: on a blocked layout the
+    lane ids are block-local rows of the (possibly halo-remapped) table, so
+    the table lookup must see ``lanes + col_base``; ``src_map`` then maps
+    table rows back to global node ids."""
     _, _, col_base, _, src_map = drop
     if src_map is not None:
-        lanes = jnp.take(src_map, lanes, axis=0, mode="clip")
+        return jnp.take(src_map, lanes + col_base, axis=0, mode="clip")
     return lanes + col_base
 
 

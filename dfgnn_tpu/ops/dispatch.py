@@ -58,6 +58,9 @@ def graph_attention(
         # XLA dense formulation stays reachable as method="dense", and is
         # the automatic fallback when attention weights are requested
         # (dense [B, h, P, P] weights, the materialized-attn_edge analog).
+        # Autodiff note: the flash kernel treats batch.val as a CONSTANT
+        # (float0 tangent — the reference's fixed A.val); code that needs
+        # d(val) must pass method="dense" explicitly.
         if method in ("auto", "flash") and not return_weights:
             from dfgnn_tpu.ops.pallas import flash_mask
 

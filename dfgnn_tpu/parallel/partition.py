@@ -188,45 +188,56 @@ def partition_graph(
     halo_plan = None
     n_cols_space = n
     if halo and n_devices > 1:
+        # Vectorized halo-plan build: one sort/unique over (device, col)
+        # replaces the former O(P^2) nested per-pair np.unique loops and
+        # the O(P*N) per-device remap tables (measured: reddit-standin at
+        # 256 virtual devices builds in seconds; see NOTES_r4.md).
+        #
         # need[d][e]: global source ids owned by peer e that device d's
         # edges reference; send[e][d] = need[d][e] as e-local indices.
-        need = [[None] * n_devices for _ in range(n_devices)]
-        mx = 0
-        for d in range(n_devices):
-            _, cs, _ = per_dev[d]
-            owners = cs // n_local
-            for e in range(n_devices):
-                if e == d:
-                    continue
-                ids = np.unique(cs[owners == e])
-                need[d][e] = ids
-                mx = max(mx, ids.size)
+        all_cols = np.concatenate([cs for _, cs, _ in per_dev])
+        all_dev = np.repeat(
+            np.arange(n_devices, dtype=np.int64),
+            [cs.size for _, cs, _ in per_dev])
+        # unique (d, col) pairs, sorted by (d, col) — so within one d the
+        # halo groups (d, owner=e) are contiguous and internally sorted,
+        # reproducing np.unique's per-pair order
+        key = all_dev * n + all_cols.astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        d_of = (uk // n).astype(np.int64)
+        col_of = (uk % n).astype(np.int64)
+        own_of = col_of // n_local
+        is_halo = own_of != d_of
+        grp = d_of * n_devices + own_of              # sorted (uk is sorted)
+        # rank of each unique pair within its (d, owner) group
+        starts = np.searchsorted(grp, np.arange(n_devices * n_devices))
+        rank = np.arange(uk.size, dtype=np.int64) - starts[grp]
+        counts = np.bincount(grp[is_halo], minlength=n_devices * n_devices)
+        mx = int(counts.max()) if counts.size else 0
         H = max(8, _round_up(mx, 8))
         send_local = np.zeros((n_devices, n_devices, H), np.int32)
-        for e in range(n_devices):
-            for d in range(n_devices):
-                if e == d:
-                    continue
-                ids = need[d][e]
-                send_local[e, d, : ids.size] = (ids - e * n_local).astype(np.int32)
+        # send[e][d][rank] = e-local index of the rank-th needed id
+        eh, dh, rh = own_of[is_halo], d_of[is_halo], rank[is_halo]
+        send_local[eh, dh, rh] = (col_of[is_halo] - eh * n_local).astype(np.int32)
         table_rows = n_local + n_devices * H
-        # remap each device's neighbor ids into its local source table,
-        # and record the inverse (global id per table row) for dropout
+        # local-table row of every unique (d, col) pair + the inverse
+        # (global id per table row) for dropout
+        table_of = np.where(
+            is_halo, n_local + own_of * H + rank, col_of - d_of * n_local
+        ).astype(np.int32)
         table_global = np.full((n_devices, table_rows + 1), n, np.int32)
+        rr = np.arange(n_local, dtype=np.int64)
+        owned = (rr[None, :] + np.arange(n_devices)[:, None] * n_local)
+        valid = owned < n
+        table_global[:, :n_local][valid] = owned[valid].astype(np.int32)
+        table_global[d_of, table_of] = col_of.astype(np.int32)
+        # remap each device's neighbor ids into its local source table
+        remapped = table_of[inv]
+        off = 0
         for d in range(n_devices):
             ip, cs, vs = per_dev[d]
-            M = np.empty(n, np.int32)
-            lo_r = d * n_local
-            hi_r = min(lo_r + n_local, n)
-            M[lo_r:hi_r] = np.arange(hi_r - lo_r, dtype=np.int32)
-            table_global[d, : hi_r - lo_r] = np.arange(lo_r, hi_r)
-            for e in range(n_devices):
-                if e == d:
-                    continue
-                ids = need[d][e]
-                M[ids] = n_local + e * H + np.arange(ids.size, dtype=np.int32)
-                table_global[d, n_local + e * H : n_local + e * H + ids.size] = ids
-            per_dev[d] = (ip, M[cs], vs)
+            per_dev[d] = (ip, remapped[off:off + cs.size], vs)
+            off += cs.size
         n_cols_space = table_rows  # sentinel -> appended zero row (clip)
         halo_plan = HaloExchange(send_local=send_local, max_halo=H,
                                  table_global=table_global)
@@ -430,11 +441,22 @@ def dist_graph_attention(
     device's row-block offset, and halo-remapped neighbor ids are inverted
     through the plan's ``table_global`` map — so the mask is bitwise equal
     to a single-chip run with the same seed (and agrees between the
-    forward and both fused-backward directions).
+    forward and both fused-backward directions).  Caveat: with
+    ``partition_graph(..., reorder="bfs"/"lpa")`` the hash keys on the
+    PERMUTED node ids, so the mask is a valid dropout draw but not
+    bitwise equal to a single-chip run on the original ids.
     """
     rate = float(dropout_rate)
     if rate > 0.0 and dropout_rng is None:
         raise ValueError("dropout_rate > 0 requires dropout_rng")
+    if (rate > 0.0 and pg.halo is not None
+            and pg.halo.table_global is None):
+        # a halo plan without the inverse map would silently hash every
+        # lane to id 0 (correlated whole-row drops) — refuse instead
+        raise ValueError(
+            "dropout on a halo-compressed partition requires the plan's "
+            "table_global map; rebuild with partition_graph(...) from this "
+            "version (HaloExchange.table_global is None)")
     from dfgnn_tpu.ops.edge_dropout import seed_from_key
 
     seed = (seed_from_key(dropout_rng) if rate > 0.0

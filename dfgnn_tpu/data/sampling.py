@@ -122,6 +122,74 @@ class NeighborSampler:
             frontier = np.unique(np.concatenate([frontier, real.astype(np.int64)]))
         return blocks
 
+    def sample_localized(
+        self, seeds: np.ndarray, fanouts: Sequence[int], seed: int,
+        pad_to: Sequence[int], support_pad: int,
+    ) -> Tuple[List[SampledBlock], np.ndarray]:
+        """Layered sampling with BLOCK-LOCAL indices.
+
+        Unlike :meth:`sample` (whose blocks reference *global* node ids and
+        therefore force full-graph-sized feature buffers between layers),
+        the returned blocks are chained: block li's ``nbr`` and ``seeds``
+        index into the NEXT deeper block's output rows (and the deepest
+        block indexes into the returned ``support`` array of global ids, the
+        input gather list).  A training step's feature tensors are then all
+        O(batch * prod(fanouts)) — full-graph cost never enters the step.
+
+        Returns ``(blocks, support)`` where ``support`` is ``[support_pad]``
+        global ids (sentinel ``n_nodes``); gather the input features as
+        ``x_full[support]`` and run blocks in ``reversed`` order.  Frontier
+        or support overflow beyond the static caps is truncated (standard
+        sampling approximation; overflowing edges are masked out).
+        """
+        blocks = self.sample(seeds, fanouts, seed, pad_to=pad_to)
+        last = blocks[-1].bg.buckets[0]
+        nbrs = np.asarray(last.nbr)
+        real = nbrs[nbrs < self.n].astype(np.int64)
+        lseeds = np.asarray(blocks[-1].seeds)
+        sup = np.unique(np.concatenate([lseeds[lseeds < self.n], real]))
+        sup = sup[:support_pad]
+        sup_p = np.full(support_pad, self.n, dtype=np.int64)
+        sup_p[: sup.size] = sup
+        refs = [
+            (np.asarray(blocks[li + 1].seeds), blocks[li + 1].n_seeds)
+            for li in range(len(blocks) - 1)
+        ] + [(sup_p, int(sup.size))]
+        out = []
+        for blk, (ref, ref_real) in zip(blocks, refs):
+            b = blk.bg.buckets[0]
+            sent = ref.shape[0]
+            nbr_loc, found = _localize(
+                np.asarray(b.nbr).ravel(), ref, ref_real, sent)
+            nbr_loc = nbr_loc.reshape(b.nbr.shape)
+            emask = np.asarray(b.emask) & found.reshape(b.nbr.shape)
+            seeds_loc, _ = _localize(np.asarray(blk.seeds), ref, ref_real,
+                                     sent)
+            bucket = b.replace(nbr=nbr_loc, emask=emask)
+            bg = BucketedGraph(
+                buckets=(bucket,), n_nodes=blk.bg.n_nodes,
+                n_edges=int(emask.sum()))
+            out.append(SampledBlock(bg=bg, seeds=seeds_loc,
+                                    n_seeds=blk.n_seeds))
+        return out, sup_p
+
+
+def _localize(ids: np.ndarray, ref: np.ndarray, ref_real: int,
+              sentinel: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Positions of ``ids`` within ``ref[:ref_real]`` (missing/padded ->
+    ``sentinel``).  Returns (local ids int32, found mask)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if ref_real == 0:
+        return (np.full(ids.shape, sentinel, np.int32),
+                np.zeros(ids.shape, bool))
+    ref_r = np.asarray(ref[:ref_real], dtype=np.int64)
+    order = np.argsort(ref_r, kind="stable")
+    sref = ref_r[order]
+    pos = np.clip(np.searchsorted(sref, ids), 0, ref_real - 1)
+    found = sref[pos] == ids
+    loc = np.where(found, order[pos], sentinel)
+    return loc.astype(np.int32), found
+
 
 def sampled_block_attention(
     block: SampledBlock,

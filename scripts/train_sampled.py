@@ -5,6 +5,10 @@ New capability (BASELINE.json scope; no reference counterpart): GraphSAGE-
 style layered sampling feeds fixed-fanout sampled blocks to the fused
 bucketed attention path; one jit trace serves every re-sampled batch.
 
+Features stay BLOCK-LOCAL between layers (``sample_localized``): every
+tensor inside a step is O(batch * prod(fanouts)) — the full graph enters
+only through one input-feature gather, never through per-layer scatters.
+
 Usage:
     python scripts/train_sampled.py --dataset arxiv --dim 64 --epochs 3 \
         --batch-size 1024
@@ -27,7 +31,7 @@ def main(argv=None):
 
     from dfgnn_tpu.data.datasets import load_full_graph
     from dfgnn_tpu.data.sampling import NeighborSampler
-    from dfgnn_tpu.graph import Graph, device_put
+    from dfgnn_tpu.graph import Graph
     from dfgnn_tpu.models.conv import GTConv
     from dfgnn_tpu.utils.config import build_parser, parse_args
 
@@ -37,72 +41,72 @@ def main(argv=None):
     sampler = NeighborSampler(g)
     n = ds.n_nodes
     fanouts = [8, 8]
-    # fixed per-layer seed caps -> one jit trace for every batch
+    # fixed per-layer seed caps + input-support cap -> one jit trace for
+    # every batch (step cost O(batch * fanout^2), independent of n)
     pad_to = [args.batch_size, args.batch_size * (fanouts[0] + 1)]
+    support_pad = args.batch_size * (fanouts[0] + 1) * (fanouts[1] + 1)
 
     x_full = jnp.asarray(ds.features[:, : args.dim].astype(np.float32))
     if x_full.shape[1] < args.dim:
         x_full = jnp.pad(x_full, [(0, 0), (0, args.dim - x_full.shape[1])])
+    # one sentinel row so support gathers of padded slots read zeros
+    x_full = jnp.concatenate([x_full, jnp.zeros((1, x_full.shape[1]))], 0)
     y_full = np.asarray(ds.labels)
     train_ids = np.nonzero(np.asarray(ds.train_mask))[0]
 
     class SampledNet(nn.Module):
-        """2-layer GT over sampled blocks: each layer aggregates the
-        previous layer's full-node features into its block's seed rows,
-        scattered back to a full-size buffer."""
+        """2-layer GT over localized sampled blocks: layer li's rows are
+        the li-th frontier; block indices chain layer outputs directly —
+        no full-graph-sized buffer exists anywhere in the step."""
 
         hidden: int
         n_classes: int
 
         @nn.compact
-        def __call__(self, blocks, x):
-            h = nn.Dense(self.hidden)(x)
+        def __call__(self, blocks, x_sup):
+            h = nn.Dense(self.hidden)(x_sup)
             for li, blk in enumerate(reversed(blocks)):
-                out_rows = GTConv(self.hidden, name=f"conv_{li}")(blk, h)
-                buf = jnp.zeros((n + 1, self.hidden), h.dtype)
-                h = buf.at[blk.seeds].set(out_rows, mode="drop")[:n]
+                h = GTConv(self.hidden, name=f"conv_{li}")(blk, h)
             return nn.Dense(self.n_classes)(h)
 
     model = SampledNet(hidden=args.dim, n_classes=ds.num_classes)
     rng = np.random.default_rng(0)
     seeds0 = train_ids[: args.batch_size]
-    blocks0 = [b.device_put() for b in sampler.sample(seeds0, fanouts, seed=0, pad_to=pad_to)]
-    params = model.init(jax.random.key(0), blocks0, x_full)
+    blocks0, sup0 = sampler.sample_localized(
+        seeds0, fanouts, seed=0, pad_to=pad_to, support_pad=support_pad)
+    blocks0 = [b.device_put() for b in blocks0]
+    x_sup0 = jnp.take(x_full, jnp.asarray(sup0), axis=0, mode="clip")
+    params = model.init(jax.random.key(0), blocks0, x_sup0)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
+    bs = args.batch_size
 
     @jax.jit
-    def step(params, opt_state, blocks, x, y, seed_ids):
+    def step(params, opt_state, blocks, support, y_batch):
+        x_sup = jnp.take(x_full, support, axis=0, mode="clip")
+
         def loss_fn(p):
-            logits = model.apply(p, blocks, x)
-            sel = jnp.take(logits, seed_ids, axis=0, mode="clip")
-            yb = jnp.take(y, seed_ids, axis=0, mode="clip")
-            return optax.softmax_cross_entropy_with_integer_labels(sel, yb).mean()
+            logits = model.apply(p, blocks, x_sup)[:bs]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y_batch).mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    y_dev = jnp.asarray(y_full)
     for epoch in range(args.epochs):
         t0 = time.time()
         losses = []
         order = rng.permutation(train_ids)
-        for s in range(0, len(order) - args.batch_size + 1, args.batch_size):
-            seeds = order[s : s + args.batch_size]
-            blocks = [
-                b.device_put()
-                for b in sampler.sample(seeds, fanouts, seed=epoch * 7919 + s,
-                                        pad_to=pad_to)
-            ]
-            # blocks only match trace shapes if seed counts match; frontier
-            # sizes vary -> pad seeds arrays are already padded per 128
-            sid = jnp.asarray(
-                np.pad(seeds, (0, blocks[0].seeds.shape[0] - len(seeds)),
-                       constant_values=n)
-            )
+        for s in range(0, len(order) - bs + 1, bs):
+            seeds = order[s : s + bs]
+            blocks, sup = sampler.sample_localized(
+                seeds, fanouts, seed=epoch * 7919 + s, pad_to=pad_to,
+                support_pad=support_pad)
+            blocks = [b.device_put() for b in blocks]
             params, opt_state, loss = step(
-                params, opt_state, blocks, x_full, y_dev, sid
+                params, opt_state, blocks, jnp.asarray(sup),
+                jnp.asarray(y_full[seeds]),
             )
             losses.append(float(loss))
         print(f"epoch {epoch}: loss={np.mean(losses):.4f} "

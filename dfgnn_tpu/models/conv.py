@@ -224,10 +224,14 @@ class AGNNConv(nn.Module):
     num_heads: int = 1
     project: bool = True
     method: str = "auto"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, g, x, impl: Optional[str] = None):
-        h = nn.Dense(self.out_size, name="proj")(x) if self.project else x
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        h = (nn.Dense(self.out_size, name="proj", dtype=self.dtype)(x)
+             if self.project else x)
         hn = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
         out = graph_attention(
             g,

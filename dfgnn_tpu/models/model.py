@@ -139,15 +139,19 @@ class FullGraphNet(nn.Module):
     num_layers: int = 8
     num_heads: int = 1
     method: str = "auto"
+    # bf16 fast mode for the conv stack (head/softmax stay fp32)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, g, x, impl: Optional[str] = None):
         h = nn.Dense(self.hidden_size, name="input_proj")(x)
+        kw = {} if self.dtype is None else {"dtype": self.dtype}
         for i in range(self.num_layers):
             h = make_conv(
                 self.conv, self.hidden_size, self.num_heads,
-                method=self.method, name=f"layer_{i}",
+                method=self.method, name=f"layer_{i}", **kw,
             )(g, h, impl=impl)
+        h = h.astype(jnp.float32)
         return nn.log_softmax(nn.Dense(self.num_classes, name="output_proj")(h))
 
 

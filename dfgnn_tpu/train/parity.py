@@ -73,8 +73,13 @@ def _accuracy(model, params, g, x, y, mask, impl=None):
 
 def run_parity_batched(seed: int = 0, n_graphs: int = 32, hidden: int = 32,
                        layers: int = 2, steps: int = 120, lr: float = 1e-2,
-                       conv: str = "gt", noise: float = 0.3) -> dict:
-    """PATTERN-like node classification: flash-fused vs oracle."""
+                       conv: str = "gt", noise: float = 0.3,
+                       dtype=None) -> dict:
+    """PATTERN-like node classification: flash-fused vs oracle.
+
+    ``dtype=jnp.bfloat16`` trains the FUSED side in bf16 via the auto
+    route (the whole-layer Pallas kernel on a DenseBatch) while the
+    unfused oracle stays fp32 — the bf16-vs-fp32 accuracy-parity case."""
     rng = np.random.default_rng(seed)
     graphs = pattern_like_batch(rng, n_graphs)
     P = 128
@@ -90,14 +95,20 @@ def run_parity_batched(seed: int = 0, n_graphs: int = 32, hidden: int = 32,
     g_ref = batch.to_graph().device_put()
 
     model = FullGraphNet(conv=conv, num_classes=2, hidden_size=hidden,
-                         num_layers=layers)
-    params0 = model.init(jax.random.key(seed), batch, x, impl="flash")
+                         num_layers=layers, dtype=dtype)
+    model_ref = FullGraphNet(conv=conv, num_classes=2, hidden_size=hidden,
+                             num_layers=layers)
+    # bf16 mode: fused side takes the auto route (whole-layer kernel);
+    # fp32 keeps the explicit flash kernel.  Param trees are identical.
+    fused_impl = None if dtype is not None else "flash"
+    params0 = model.init(jax.random.key(seed), batch, x, impl=fused_impl)
 
-    p_f, _ = _train(model, params0, batch, x, y, mask, steps, lr, impl="flash")
-    p_u, _ = _train(model, params0, g_ref, x, y, mask, steps, lr,
+    p_f, _ = _train(model, params0, batch, x, y, mask, steps, lr,
+                    impl=fused_impl)
+    p_u, _ = _train(model_ref, params0, g_ref, x, y, mask, steps, lr,
                     impl="reference")
-    acc_f = _accuracy(model, p_f, batch, x, y, mask, impl="flash")
-    acc_u = _accuracy(model, p_u, g_ref, x, y, mask, impl="reference")
+    acc_f = _accuracy(model, p_f, batch, x, y, mask, impl=fused_impl)
+    acc_u = _accuracy(model_ref, p_u, g_ref, x, y, mask, impl="reference")
     base = max(float(jnp.mean((y == 0) * mask) / jnp.mean(mask)),
                float(jnp.mean((y == 1) * mask) / jnp.mean(mask)))
     return {"task": "batched-SBM", "acc_fused": acc_f, "acc_unfused": acc_u,

@@ -4,34 +4,82 @@ Reference protocol: train both paths on the same task and compare the end
 metric (``DFGNN/script/train/train_gtconv.py:225-227``).  SBM block labels
 are learnable, so the accuracies are meaningful (vs the majority baseline),
 and the gap isolates the fused kernels' numerics.
+
+Gap bound: rather than a hardcoded tolerance, the pass bar is derived from
+the OBSERVED seed-to-seed spread of the unfused oracle itself — a numerics
+bug must push the fused metric outside the range that re-seeding the exact
+same unfused training explores (plus a small floor for ties).
 """
 
+import numpy as np
 import pytest
 
 from dfgnn_tpu.train.parity import run_parity_batched, run_parity_full
 
+SEEDS = (0, 1, 2)
+# Floor under the seed-variance bar: two identical trainings can still
+# differ by a few argmax ties on ~1000 test nodes.
+GAP_FLOOR = 0.02
 
-def test_parity_batched_flash():
-    r = run_parity_batched(seed=0, n_graphs=16, hidden=16, layers=2,
+
+def _assert_parity(results):
+    accs_u = [r["acc_unfused"] for r in results]
+    spread_u = max(accs_u) - min(accs_u)
+    bound = max(2.0 * spread_u, GAP_FLOOR)
+    for r in results:
+        assert r["acc_unfused"] > r["majority_baseline"] + 0.1, r
+        assert r["acc_fused"] > r["majority_baseline"] + 0.1, r
+    worst = max(r["gap"] for r in results)
+    assert worst <= bound, (
+        f"worst fused-vs-unfused gap {worst:.4f} exceeds the "
+        f"seed-variance bound {bound:.4f} (unfused spread {spread_u:.4f}); "
+        f"{results}")
+
+
+def test_parity_batched_flash_multiseed():
+    results = [
+        run_parity_batched(seed=s, n_graphs=16, hidden=16, layers=2,
                            steps=60, lr=2e-2)
-    # learnable: clearly above the majority-class baseline
-    assert r["acc_unfused"] > r["majority_baseline"] + 0.1, r
-    assert r["acc_fused"] > r["majority_baseline"] + 0.1, r
-    # parity: fused and unfused reach the same metric within noise
-    assert r["gap"] < 0.03, r
+        for s in SEEDS
+    ]
+    _assert_parity(results)
 
 
-def test_parity_full_bucket():
-    r = run_parity_full(seed=0, n=800, n_blocks=2, avg_deg=12, hidden=16,
+def test_parity_full_bucket_multiseed():
+    results = [
+        run_parity_full(seed=s, n=800, n_blocks=2, avg_deg=12, hidden=16,
                         layers=2, steps=60, lr=2e-2)
-    assert r["acc_unfused"] > r["majority_baseline"] + 0.1, r
-    assert r["acc_fused"] > r["majority_baseline"] + 0.1, r
-    assert r["gap"] < 0.03, r
+        for s in SEEDS
+    ]
+    _assert_parity(results)
 
 
 @pytest.mark.parametrize("conv", ["gat"])
 def test_parity_full_gat(conv):
-    r = run_parity_full(seed=1, n=800, n_blocks=2, avg_deg=12, hidden=16,
+    results = [
+        run_parity_full(seed=s, n=800, n_blocks=2, avg_deg=12, hidden=16,
                         layers=2, steps=60, lr=2e-2, conv=conv)
-    assert r["acc_fused"] > r["majority_baseline"] + 0.1, r
-    assert r["gap"] < 0.03, r
+        for s in SEEDS
+    ]
+    _assert_parity(results)
+
+
+def test_parity_batched_bf16_vs_fp32():
+    """bf16 fused training (auto route: whole-layer Pallas kernel) reaches
+    the fp32 unfused oracle's accuracy within the seed-variance bound."""
+    import jax.numpy as jnp
+
+    results = [
+        run_parity_batched(seed=s, n_graphs=16, hidden=16, layers=2,
+                           steps=60, lr=2e-2, dtype=jnp.bfloat16)
+        for s in SEEDS[:2]
+    ]
+    accs_u = [r["acc_unfused"] for r in results]
+    spread_u = max(accs_u) - min(accs_u)
+    # bf16 carries genuine quantization noise on top of seed noise; allow
+    # the floor plus twice the observed seed spread, but never worse than
+    # 5 accuracy points (a numerics bug shows up far larger)
+    bound = min(max(2.0 * spread_u + GAP_FLOOR, 0.03), 0.05)
+    for r in results:
+        assert r["acc_fused"] > r["majority_baseline"] + 0.1, r
+        assert r["gap"] <= bound, (r, bound)

@@ -101,6 +101,16 @@ _BATCH_ANCHORS = {
     "Peptides-struct": (151, 2, "atom", 9, 11, "graph_regression"),
     "ogbg-molhiv": (26, 2, "atom", 9, 1, "graph_classification"),
     "ogbg-molpcba": (26, 2, "atom", 9, 128, "graph_classification_multilabel"),
+    # REAL data (no download needed): sklearn's handwritten-digits images
+    # (UCI optdigits, 1797 samples) as pixel graphs in the MNIST-superpixel
+    # schema (~64 nodes, grid deg<=8, 3 float features, 10 classes) — the
+    # accuracy-parity workload (BASELINE.md) this zero-egress environment
+    # can actually measure on real data.
+    "digits": (64, 8, "float", 3, 10, "graph_classification"),
+    # multilabel variant: 10 independent binary tasks (one-vs-all of the
+    # real digit class, Peptides-func-shaped) with molpcba-style missing
+    # labels (deterministic 20% NaN holes) to exercise the masked BCE loss.
+    "digits-func": (64, 8, "float", 3, 10, "graph_classification_multilabel"),
 }
 
 
@@ -250,6 +260,69 @@ def _synthetic_batched(name: str, n_graphs: int) -> BatchedGraphDataset:
     )
 
 
+def _load_digits(name: str) -> BatchedGraphDataset:
+    """REAL batched-graph dataset from sklearn's handwritten digits.
+
+    Each 8x8 image becomes a pixel graph: nodes = the 64 pixels, edges =
+    8-neighborhood grid links kept only where at least one endpoint is
+    inked (intensity > 0) — so the graph is the image's real ink
+    structure and varies per sample, the same construction idea as the
+    MNIST-superpixel graphs the reference benchmarks
+    (``figure/graph_statistics/graph_statistics.md``: MNIST 70 nodes,
+    deg 8, 3 float features).  Features: [intensity/16, row/7, col/7].
+
+    ``digits-func``: same graphs, targets = 10 one-vs-all binary tasks of
+    the real class label with a deterministic 20% of (graph, task) cells
+    set to NaN (molpcba-style missing labels) for the masked-BCE path.
+    """
+    from sklearn import datasets as skd
+
+    d = skd.load_digits()
+    images = d.images  # [1797, 8, 8] float (0..16)
+    target = d.target.astype(np.int64)
+
+    # 8-neighborhood grid edge template (both directions)
+    idx = np.arange(64).reshape(8, 8)
+    src_l, dst_l = [], []
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            rs = slice(max(0, -dr), 8 - max(0, dr))
+            cs = slice(max(0, -dc), 8 - max(0, dc))
+            src_l.append(idx[rs, cs].ravel())
+            dst_l.append(idx[max(0, dr):8 + min(0, dr),
+                             max(0, dc):8 + min(0, dc)].ravel())
+    src_t = np.concatenate(src_l)
+    dst_t = np.concatenate(dst_l)
+
+    rr, cc = np.divmod(np.arange(64), 8)
+    coord = np.stack([rr / 7.0, cc / 7.0], axis=1).astype(np.float32)
+
+    graphs, feats = [], []
+    for img in images:
+        pix = img.ravel().astype(np.float32)
+        keep = (pix[src_t] > 0) | (pix[dst_t] > 0)
+        graphs.append((src_t[keep].astype(np.int32),
+                       dst_t[keep].astype(np.int32), 64))
+        feats.append(np.concatenate([pix[:, None] / 16.0, coord], axis=1))
+
+    if name == "digits":
+        labels = target
+        task, n_classes = "graph_classification", 10
+    else:
+        labels = np.zeros((len(target), 10), np.float32)
+        labels[np.arange(len(target)), target] = 1.0
+        hole_rng = np.random.default_rng(0)  # deterministic missing-label mask
+        labels[hole_rng.random(labels.shape) < 0.2] = np.nan
+        task, n_classes = "graph_classification_multilabel", 10
+    return BatchedGraphDataset(
+        name=name, graphs=graphs, node_features=feats, labels=labels,
+        task=task, num_classes=n_classes, feature_kind="float", in_dim=3,
+        synthetic=False,
+    )
+
+
 def _load_npz_batched(name: str, data_dir: str) -> Optional[BatchedGraphDataset]:
     p = os.path.join(data_dir, f"{name}_batched.npz")
     if not os.path.exists(p):
@@ -270,6 +343,8 @@ def load_batched(name: str, data_dir: str = "data", *, n_graphs: int = 1024,
     """Role of the reference's ``load_dataset_fn`` (``utils/util.py:65-92``)."""
     if name not in _BATCH_ANCHORS:
         raise KeyError(f"unknown batched dataset {name!r}; choose from {sorted(_BATCH_ANCHORS)}")
+    if name in ("digits", "digits-func"):
+        return _load_digits(name)
     ds = _load_npz_batched(name, data_dir)
     if ds is None:
         ds = _synthetic_batched(name, n_graphs)

@@ -52,6 +52,8 @@ def choose_inproj(dataset_name: str, hidden_size: int) -> nn.Module:
         return nn.Dense(hidden_size)
     if dataset_name in ("PascalVOC-SP", "COCO-SP"):
         return nn.Dense(hidden_size)
+    if dataset_name in ("digits", "digits-func"):
+        return nn.Dense(hidden_size)
     raise ValueError(f"unknown dataset {dataset_name}")
 
 

@@ -77,6 +77,7 @@ def build_parser(description: str = "dfgnn-tpu") -> argparse.ArgumentParser:
     p.add_argument("--n-layers", type=int, default=8)
     p.add_argument("--n-devices", type=int, default=None,
                    help="mesh size for --format dist")
+    p.add_argument("--seed", type=int, default=0)
     return p
 
 

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Real-data accuracy parity: fused vs unfused training to convergence.
+
+The reference's quality bar is end-to-end metrics on real datasets
+(``DFGNN/script/train/train_gtconv.py:80-103``: ogbg-molhiv ROC-AUC per
+epoch, fused and unfused trained sequentially and compared,
+``:225-227``).  This zero-egress environment has ONE real graph-shaped
+dataset available: sklearn's handwritten digits (UCI optdigits, 1797 real
+8x8 images), exposed as pixel-ink graphs in the MNIST-superpixel schema
+(``dfgnn_tpu/data/datasets.py::_load_digits``).
+
+Runs the SAME init/seed twice — ``impl="flash"`` (fused Pallas path) and
+``impl="reference"`` (unfused XLA segment-op oracle, the DGL-sparse role)
+— and reports per-epoch test metric and the final parity gap.
+
+``--dataset digits-func`` exercises the multilabel masked-BCE path
+(Peptides-func-shaped: 10 binary tasks, molpcba-style NaN holes) end to
+end; metric = mean per-task average precision over labeled cells.
+
+Usage:
+    python scripts/train_real.py --dataset digits --dim 64 --n-layers 4 \
+        --batch-size 128 --epochs 25
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _metric(ds, y, scores):
+    if ds.task == "graph_classification_multilabel":
+        from sklearn.metrics import average_precision_score
+
+        aps = []
+        for t in range(y.shape[1]):
+            lab = ~np.isnan(y[:, t])
+            if lab.sum() and len(np.unique(y[lab, t])) == 2:
+                aps.append(average_precision_score(y[lab, t], scores[lab, t]))
+        return float(np.mean(aps)), "mean-AP"
+    return float((scores.argmax(-1) == y).mean()), "accuracy"
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dfgnn_tpu.data.collate import collate_dense
+    from dfgnn_tpu.data.datasets import load_batched
+    from dfgnn_tpu.models import GTModel
+    from dfgnn_tpu.train import TrainState
+    from dfgnn_tpu.utils.config import build_parser, parse_args
+
+    p = build_parser(__doc__)
+    p.set_defaults(dataset="digits", dim=64, batch_size=128, epochs=25,
+                   n_layers=4)
+    # reference-architecture parity run by default (GTModel: linear conv
+    # stack + sum pool, train_gtconv.py:51-77); --nonlinear swaps in ELU
+    # between convs + mean pooling for a converged-accuracy row (the
+    # fused-vs-unfused comparison is equally valid on either)
+    p.add_argument("--nonlinear", action="store_true")
+    args = parse_args(p, argv)
+    ds = load_batched(args.dataset, args.data_dir)
+    assert not ds.synthetic, "train_real.py is for real data only"
+
+    # deterministic stratified-ish 80/20 split
+    order = np.random.default_rng(0).permutation(len(ds))
+    n_tr = int(0.8 * len(ds)) // args.batch_size * args.batch_size
+    tr_idx, te_idx = order[:n_tr], order[n_tr:]
+
+    def collate_all(idx_list):
+        out = []
+        for s in range(0, len(idx_list) - args.batch_size + 1, args.batch_size):
+            b, x, y, m = collate_dense(ds, idx_list[s:s + args.batch_size],
+                                       np_pad=64)
+            out.append((b.replace(n_edges=0, n_nodes=0).device_put(),
+                        jnp.asarray(x), jnp.asarray(y), jnp.asarray(m)))
+        return out
+
+    tr = collate_all(tr_idx)
+    te = collate_all(te_idx)
+
+    if args.nonlinear:
+        from flax import linen as nn
+
+        from dfgnn_tpu.models import make_conv
+        from dfgnn_tpu.models.model import choose_inproj, graph_pool
+
+        class PooledNet(nn.Module):
+            @nn.compact
+            def __call__(self, g, x, impl=None):
+                h = choose_inproj(args.dataset, args.dim)(x)
+                for i in range(args.n_layers):
+                    h = make_conv(args.conv, args.dim, args.heads,
+                                  name=f"layer_{i}")(g, h, impl=impl)
+                    h = nn.elu(h)
+                return nn.Dense(ds.num_classes, name="predictor")(
+                    graph_pool(g, h, "mean"))
+
+        model = PooledNet()
+    else:
+        model = GTModel(args.dataset, out_size=ds.num_classes,
+                        hidden_size=args.dim, num_layers=args.n_layers,
+                        num_heads=args.heads)
+    batch0, x0, _, _ = tr[0]
+    params0 = model.init(jax.random.key(args.seed), batch0, x0)
+
+    results = {}
+    for impl in ("flash", "reference"):
+        state = TrainState.create(model, params0, lr=args.lr,
+                                  step_lr_every=10 * len(tr))
+        opt = state.opt
+
+        def step(p, o, b, x, y, m, impl=impl):
+            def lf(p):
+                logits = model.apply(p, b, x, impl=impl)
+                return _loss_on_logits(logits, y, m, ds.task)
+            loss, grads = jax.value_and_grad(lf)(p)
+            updates, o = opt.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        jstep = jax.jit(step)
+        japply = jax.jit(lambda p, b, x: model.apply(p, b, x, impl=impl))
+        params, opt_state = params0, state.opt_state
+        t0 = time.time()
+        for epoch in range(args.epochs):
+            losses = []
+            for b, x, y, m in tr:
+                params, opt_state, loss = jstep(params, opt_state, b, x, y, m)
+                losses.append(float(loss))
+            ys, ss = [], []
+            for b, x, y, m in te:
+                ss.append(np.asarray(japply(params, b, x)))
+                ys.append(np.asarray(y))
+            met, met_name = _metric(ds, np.concatenate(ys), np.concatenate(ss))
+            print(f"[{impl:>9}] epoch {epoch:>2}: loss={np.mean(losses):.4f} "
+                  f"test {met_name}={met:.4f}", flush=True)
+        results[impl] = met
+        print(f"[{impl:>9}] total {time.time() - t0:.1f}s", flush=True)
+
+    gap = abs(results["flash"] - results["reference"])
+    print(f"\nfinal test metric: fused={results['flash']:.4f} "
+          f"unfused={results['reference']:.4f} gap={gap:.4f}")
+    return 0 if gap < 0.03 else 1
+
+
+def _loss_on_logits(logits, y, m, task):
+    # same per-task loss bodies as make_loss_fn, applied to logits computed
+    # with an explicit impl= (make_loss_fn has no impl plumbing)
+    import jax.numpy as jnp
+    import optax
+
+    if task == "graph_classification_multilabel":
+        y = y.astype(jnp.float32)
+        labeled = ~jnp.isnan(y) & m[:, None].astype(bool)
+        y_safe = jnp.where(labeled, y, 0.0)
+        l = optax.sigmoid_binary_cross_entropy(logits, y_safe)
+        l = jnp.where(labeled, l, 0.0)
+        return jnp.sum(l) / jnp.maximum(jnp.sum(labeled), 1)
+    l = optax.softmax_cross_entropy_with_integer_labels(
+        logits, jnp.maximum(y, 0))
+    return jnp.sum(l * m) / jnp.maximum(jnp.sum(m), 1)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

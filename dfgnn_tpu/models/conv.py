@@ -101,8 +101,7 @@ class GTConv(nn.Module):
             method = os.environ.get("DFGNN_TPU_FORCE_METHOD", "auto")
         fused_layer = (
             isinstance(g, DenseBatch) and g.val is None
-            and (method == "flash_fused"
-                 or (method == "auto" and self.dtype == jnp.bfloat16)))
+            and method == "flash_fused")
         if fused_layer:
             from dfgnn_tpu.ops.pallas.flash_mask import flash_layer_attention
 
@@ -113,6 +112,14 @@ class GTConv(nn.Module):
             return flash_layer_attention(
                 g, x, wq, bq, wk, bk, wv, bv,
                 num_heads=self.num_heads, scale=head_dim ** -0.5)
+        # bf16 auto on a DenseBatch: XLA dense is the measured winner
+        # (BENCH_r04: dense 0.252 ms vs flash_fused 0.278 vs flash 0.315;
+        # the fused-layer kernel TIES dense within spread — full
+        # decomposition in NOTES_r4.md item 2 — so the simpler XLA program
+        # stays the default; flash_fused remains reachable via impl=).
+        if (method == "auto" and self.dtype == jnp.bfloat16
+                and isinstance(g, DenseBatch)):
+            method = "dense"
         q = nn.Dense(self.out_size, name="q_proj", dtype=self.dtype)(x) * (head_dim ** -0.5)
         k = nn.Dense(self.out_size, name="k_proj", dtype=self.dtype)(x)
         v = nn.Dense(self.out_size, name="v_proj", dtype=self.dtype)(x)
@@ -122,7 +129,7 @@ class GTConv(nn.Module):
             _split_heads(k, g, self.num_heads),
             _split_heads(v, g, self.num_heads),
             score="dot",
-            method=impl or self.method,
+            method=method,
         )
         return _merge_heads(out, g)
 
@@ -161,7 +168,11 @@ class GATConv(nn.Module):
         if fused_layer:
             # whole layer (W proj + a_l/a_r scoring + attention + dropout)
             # in ONE Pallas kernel; parameter tree identical to the
-            # decomposed path below (checkpoint-compatible)
+            # decomposed path below (checkpoint-compatible).
+            # Kept as the bf16 auto default on measurement (BENCH_r04:
+            # fused-layer 0.283 ms == decomposed flash 0.282 within
+            # spread; XLA dense loses 2.15x at 0.607 — the additive-score
+            # broadcast does not fuse the way GT's QKV matmuls do).
             from dfgnn_tpu.ops.pallas.flash_mask import (
                 flash_layer_attention_gat,
             )
@@ -233,13 +244,19 @@ class AGNNConv(nn.Module):
         h = (nn.Dense(self.out_size, name="proj", dtype=self.dtype)(x)
              if self.project else x)
         hn = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+        method = impl or self.method
+        # bf16 auto on a DenseBatch: XLA dense wins (BENCH_r04: 0.256 ms
+        # dense vs 0.289 flash) — same utilisation-bound story as GTConv.
+        if (method == "auto" and self.dtype == jnp.bfloat16
+                and isinstance(g, DenseBatch)):
+            method = "dense"
         out = graph_attention(
             g,
             _split_heads(hn, g, self.num_heads),
             _split_heads(hn, g, self.num_heads),
             _split_heads(h, g, self.num_heads),
             score="dot",
-            method=impl or self.method,
+            method=method,
         )
         return _merge_heads(out, g)
 

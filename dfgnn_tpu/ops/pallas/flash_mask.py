@@ -485,6 +485,20 @@ def flash_graph_attention(
 # recommended training route (one fewer forward recompute).
 # ---------------------------------------------------------------------------
 
+def _layer_g_override(G: int, B: int) -> int:
+    """Experiment hook: DFGNN_TPU_LAYER_G forces the fused-layer kernel's
+    graph-block size (must divide B); used by scripts/exp_bf16_layer.py to
+    shmoo the grid without code edits.  Unset in production."""
+    import os
+
+    v = os.environ.get("DFGNN_TPU_LAYER_G", "")
+    if v:
+        g = int(v)
+        if B % g == 0:
+            return g
+    return G
+
+
 def _layer_kernel_dot(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                       wv_ref, bv_ref, adj_ref, o_ref, lse_ref=None, *,
                       scale, prec, rate):
@@ -534,6 +548,7 @@ def _layer_fwd(adj, x3, wq, bq, wk, bk, wv, bv, scale, interpret, prec,
             G = cand
     if B <= cap:
         G = B
+    G = _layer_g_override(G, B)
     sp = _specs(G, P, f)
     x_spec = pl.BlockSpec((G, P, din), lambda b, hh: (b, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -669,6 +684,7 @@ def _layer_add_fwd(adj, x3, w, b, al, ar, slope, interpret, prec, seed, rate,
             G = cand
     if B <= cap:
         G = B
+    G = _layer_g_override(G, B)
     sp = _specs(G, P, f)
     x_spec = pl.BlockSpec((G, P, din), lambda bb, hh: (bb, 0, 0),
                           memory_space=pltpu.VMEM)

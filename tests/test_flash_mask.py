@@ -237,8 +237,9 @@ def test_gat_fused_layer_bf16_auto(rng):
 
 
 def test_flash_layer_fused_bf16_auto(rng):
-    """dtype=bf16 + method auto routes a DenseBatch through the fused-layer
-    kernel and stays close to the XLA dense bf16 formulation."""
+    """GT dtype=bf16 + method auto routes a DenseBatch to the XLA dense
+    formulation (the measured winner, BENCH_r04 / NOTES_r4 item 2), and
+    the one-kernel fused layer stays close to it (reachable via impl=)."""
     from dfgnn_tpu.models import make_conv
 
     batch = _batch(rng, B=2)
@@ -247,7 +248,11 @@ def test_flash_layer_fused_bf16_auto(rng):
     layer = make_conv("gt", out_size=32, num_heads=1, method="auto",
                       dtype=jnp.bfloat16)
     params = layer.init(jax.random.key(0), batch, x)
-    got = layer.apply(params, batch, x).astype(jnp.float32)
+    got_auto = layer.apply(params, batch, x).astype(jnp.float32)
     want = layer.apply(params, batch, x, impl="dense").astype(jnp.float32)
+    # auto IS the dense path (bitwise): the default matches the winner
+    assert np.array_equal(np.asarray(got_auto), np.asarray(want))
+    got_fused = layer.apply(params, batch, x,
+                            impl="flash_fused").astype(jnp.float32)
     scale = float(jnp.max(jnp.abs(want))) + 1e-9
-    assert float(jnp.max(jnp.abs(got - want))) / scale < 5e-2
+    assert float(jnp.max(jnp.abs(got_fused - want))) / scale < 5e-2

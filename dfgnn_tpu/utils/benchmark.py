@@ -183,6 +183,52 @@ def benchmark_chained_stats(fn: Callable, *args, iters: int = 100,
     return med, samples[-1] - samples[0]
 
 
+def benchmark_chained_cold(fn: Callable, *args, iters: int = 20,
+                           flush_mb: int = 256) -> float:
+    """Cold-state ms per iteration: an HBM-sweeping reduction runs between
+    timed iterations, evicting whatever cache/prefetch state survives
+    across kernel launches — the TPU analog of the reference's
+    cache-flushed timing (``benchmark_flush``: 100 iters with
+    ``torch.cuda._sleep`` + L2 flush between runs,
+    ``gtconv_layer_hyper_ablation.py:8-27``).
+
+    Measured differentially: chained (fn + flush) minus chained (flush
+    only), so the flush's own cost cancels.  The flush is coupled to the
+    carry via ``max(|buf - c|)`` — a reduction XLA cannot algebraically
+    split into ``f(buf) + g(c)`` and hoist (``max(buf + c)`` CAN be
+    rewritten ``max(buf) + c``; the abs-difference form cannot), and each
+    iteration's fn input depends on the previous flush's value, so the
+    sweep genuinely serialises between iterations.
+    """
+    first = args[0]
+    rest = args[1:]
+    n = flush_mb * (1 << 20) // 4
+
+    def _buf():
+        # generated in-program (iota): a closed-over materialised buffer
+        # would be embedded into the remote-compile request and blow the
+        # relay's size limit (HTTP 413).  XLA hoists the (constant) buffer
+        # creation out of the timing loop; only the carry-coupled sweep
+        # stays inside it.
+        return jax.lax.iota(jnp.float32, n) * (1.0 / n)
+
+    def fused(x, *r):
+        out = fn(x, *r)
+        c = (jnp.max(out) * 1e-30).astype(jnp.float32)
+        flush = jnp.max(jnp.abs(_buf() - (c + 0.5)))
+        return flush + c
+
+    def flush_only(x):
+        # x is a scalar carry: the flush program reads ONLY the sweep
+        # buffer, so the difference isolates fn itself
+        flush = jnp.max(jnp.abs(_buf() - (x * 1e-30 + 0.5)))
+        return flush
+
+    t_full = benchmark_chained(fused, *args, iters=iters)
+    t_flush = benchmark_chained(flush_only, jnp.zeros(()), iters=iters)
+    return max(t_full - t_flush, 0.0)
+
+
 def check_correct(a, b, *, rtol: float = 1e-3, atol: float = 1e-5,
                   max_report: int = 5, tolerate_per_node: int = 1) -> bool:
     """Row-wise closeness check with per-node diagnostics.

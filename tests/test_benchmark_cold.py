@@ -1,0 +1,36 @@
+"""benchmark_chained_cold: the cold-state differential harness runs and
+returns a sane value (the flush must not be hoisted or algebraically
+split — see the abs-difference coupling in its docstring)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dfgnn_tpu.utils.benchmark import benchmark_chained, benchmark_chained_cold
+
+
+def test_cold_runs_and_is_nonnegative():
+    a = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((256, 256)).astype(np.float32))
+
+    def fn(a):
+        return a @ a
+
+    cold = benchmark_chained_cold(fn, a, iters=4, flush_mb=4)
+    assert cold >= 0.0
+    assert np.isfinite(cold)
+
+
+def test_cold_scales_with_work():
+    """A 4x bigger matmul must measure measurably bigger cold time — i.e.
+    the fn is actually re-executed per iteration, not hoisted."""
+    rng = np.random.default_rng(1)
+    small = jnp.asarray(rng.standard_normal((128, 128)).astype(np.float32))
+    big = jnp.asarray(rng.standard_normal((512, 512)).astype(np.float32))
+
+    def fn(a):
+        return a @ a
+
+    t_small = benchmark_chained_cold(fn, small, iters=4, flush_mb=4)
+    t_big = benchmark_chained_cold(fn, big, iters=4, flush_mb=4)
+    # 64x the flops; demand only a loose factor to stay robust on CI CPUs
+    assert t_big > t_small, (t_small, t_big)

@@ -245,6 +245,13 @@ class AGNNConv(nn.Module):
              if self.project else x)
         hn = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
         method = impl or self.method
+        if method == "auto":
+            # resolve the global ablation override BEFORE the bf16-auto
+            # rewrite (as GTConv does), so DFGNN_TPU_FORCE_METHOD is
+            # honoured here too
+            import os
+
+            method = os.environ.get("DFGNN_TPU_FORCE_METHOD", "auto")
         # bf16 auto on a DenseBatch: XLA dense wins (BENCH_r04: 0.256 ms
         # dense vs 0.289 flash) — same utilisation-bound story as GTConv.
         if (method == "auto" and self.dtype == jnp.bfloat16

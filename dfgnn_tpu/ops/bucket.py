@@ -71,20 +71,29 @@ _DEAD = 0.5 * _NEG_BIG  # rows with lse below this have no edges
 _GATHER_BUDGET_BYTES = 16 * 1024 * 1024
 
 
-def _drop_ctx(seed, rate, col_base=0, row_base=0, src_map=None):
+def _drop_ctx(seed, rate, col_base=0, row_base=0, src_map=None,
+              id_perm=None, row_map=None):
     """Dropout context threaded through the fused paths.
 
     ``col_base`` rebases block-local lane ids to global (source-blocked
     layouts); ``row_base`` rebases device-local row ids to global
     (edge-partitioned layouts, where rows are contiguous blocks);
     ``src_map`` (optional [table_rows] int32) un-remaps halo-table lane
-    ids back to global node ids (halo-compressed distributed layouts).
-    Together these make the hash key the GLOBAL (dst, src) node pair in
-    every layout, so the mask agrees bitwise across bucket/segment/
-    blocked/transposed/distributed walks of the same edge (reference
-    semantics: one curand draw per (edge, head),
-    ``fused_gatconv_kernel.cu:101-110``)."""
-    return (seed, rate, col_base, row_base, src_map)
+    ids back to global node ids (halo-compressed distributed layouts);
+    ``id_perm`` (optional [n+1] int32) maps PERMUTED global node ids back
+    to original ids, applied LAST to both sides — set by partitions built
+    with a node permutation (``partition_graph`` ``balance``/``reorder``).
+    Together these make the hash key the GLOBAL ORIGINAL (dst, src) node
+    pair in every layout, so the mask agrees bitwise across bucket/
+    segment/blocked/transposed/distributed/permuted walks of the same
+    edge (reference semantics: one curand draw per (edge, head),
+    ``fused_gatconv_kernel.cu:101-110``).
+
+    ``row_map`` (optional [R+1] int32), when set, REPLACES the row-side
+    derivation entirely: hash row id = ``row_map[dst]`` — used by the
+    globally-dealt shared-segment layout, whose per-segment "row" index
+    is a wide-row ordinal, not a node id."""
+    return (seed, rate, col_base, row_base, src_map, id_perm, row_map)
 
 
 def _drop_lane_ids(drop, lanes):
@@ -94,10 +103,29 @@ def _drop_lane_ids(drop, lanes):
     lane ids are block-local rows of the (possibly halo-remapped) table, so
     the table lookup must see ``lanes + col_base``; ``src_map`` then maps
     table rows back to global node ids."""
-    _, _, col_base, _, src_map = drop
+    _, _, col_base, _, src_map = drop[:5]
     if src_map is not None:
         return jnp.take(src_map, lanes + col_base, axis=0, mode="clip")
     return lanes + col_base
+
+
+def _drop_orig_ids(drop, ids):
+    """Map permuted global ids to original ids (identity when the layout
+    carries no node permutation).  Sentinel/padded ids clip to the map's
+    last entry (= the n sentinel); padded lanes/rows are emask-dropped so
+    their hash value is irrelevant, but stays deterministic."""
+    id_perm = drop[5]
+    if id_perm is None:
+        return ids
+    return jnp.take(id_perm, ids, axis=0, mode="clip")
+
+
+def _drop_row_ids(drop, dst):
+    """Original global node ids for the row side."""
+    row_base, row_map = drop[3], drop[6]
+    if row_map is not None:
+        return jnp.take(row_map, dst, axis=0, mode="clip")
+    return _drop_orig_ids(drop, dst + row_base)
 
 
 def _keep_scale_chw(drop, dst, src, h):
@@ -105,19 +133,23 @@ def _keep_scale_chw(drop, dst, src, h):
 
     ``dst`` is the per-row id array [C]; ``src`` the per-lane id array
     [C, W]; see :func:`_drop_ctx` for the id-rebase fields."""
-    seed, rate, _, row_base, _ = drop
+    seed, rate = drop[0], drop[1]
     head = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
-    return keep_scale(seed, dst[:, None, None] + row_base,
-                      _drop_lane_ids(drop, src)[:, None, :], head, rate)
+    return keep_scale(seed,
+                      _drop_row_ids(drop, dst)[:, None, None],
+                      _drop_orig_ids(drop, _drop_lane_ids(drop, src))[:, None, :],
+                      head, rate)
 
 
 def _keep_scale_chw_T(drop, src, dst, h):
     """Transposed orientation (rows = sources, lanes = destinations); the
     lane-side rebases (col_base/src_map) apply to the destination ids."""
-    seed, rate, _, row_base, _ = drop
+    seed, rate = drop[0], drop[1]
     head = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
-    return keep_scale(seed, _drop_lane_ids(drop, dst)[:, None, :],
-                      src[:, None, None] + row_base, head, rate)
+    return keep_scale(seed,
+                      _drop_orig_ids(drop, _drop_lane_ids(drop, dst))[:, None, :],
+                      _drop_row_ids(drop, src)[:, None, None],
+                      head, rate)
 
 
 def _take_src(src, flat, C, W):

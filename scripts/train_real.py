@@ -67,10 +67,19 @@ def main(argv=None):
     ds = load_batched(args.dataset, args.data_dir)
     assert not ds.synthetic, "train_real.py is for real data only"
 
-    # deterministic stratified-ish 80/20 split
+    # deterministic 80/20 split (plain permutation; class balance of the
+    # test slice is left to the shuffle)
     order = np.random.default_rng(0).permutation(len(ds))
     n_tr = int(0.8 * len(ds)) // args.batch_size * args.batch_size
     tr_idx, te_idx = order[:n_tr], order[n_tr:]
+    if args.epochs < 1:
+        p.error("--epochs must be >= 1")
+    if n_tr < args.batch_size:
+        p.error(f"--batch-size {args.batch_size} leaves no full training "
+                f"batch (train split has {int(0.8 * len(ds))} graphs)")
+    if len(te_idx) < args.batch_size:
+        p.error(f"--batch-size {args.batch_size} leaves no full test "
+                f"batch (test split has {len(te_idx)} graphs)")
 
     def collate_all(idx_list):
         out = []

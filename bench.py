@@ -145,6 +145,41 @@ def main():
     )
     fwbw_eps = gf.n_edges / (fwbw_ms / 1e3)
 
+    # GAT (add-score) and AGNN full-graph rows: the add-score chunk
+    # functions + their CSC-direction backward get regression-visible TPU
+    # numbers on the same reddit stand-in (the reference's full-graph
+    # sweep covers all three convs, test_full_graph.py:121-130).
+    erf, ecf = (
+        jnp.asarray(rng.standard_normal((gf.n_nodes, HEADS)).astype(np.float32))
+        for _ in range(2)
+    )
+    gat_full_ms, gat_full_spread = benchmark_chained_stats(
+        lambda er, ec, vf, bgf: bucket_graph_attention(
+            bgf, None, None, vf, score="add", e_row=er, e_col=ec),
+        erf, ecf, vf, bgf, iters=5, reps=3,
+    )
+
+    def gat_fwbw(er, ec, vf, bgt):
+        def loss(er_, ec_, v_):
+            out = bucket_graph_attention(bgt, None, None, v_, score="add",
+                                         e_row=er_, e_col=ec_)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        _, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(er, ec, vf)
+        return grads[2]
+
+    gat_fwbw_ms, gat_fwbw_spread = benchmark_chained_stats(
+        gat_fwbw, erf, ecf, vf, bgt, iters=4, reps=3,
+    )
+
+    # AGNN reuses the dot kernels with q = k = l2norm(h) (the reference's
+    # agnn_layer_fused.py:15-27 design); the normalize runs in XLA.
+    hnf = vf / jnp.maximum(jnp.linalg.norm(vf, axis=-1, keepdims=True), 1e-12)
+    agnn_full_ms, agnn_full_spread = benchmark_chained_stats(
+        lambda hn, vf, bgf: bucket_graph_attention(bgf, hn, hn, vf),
+        hnf, vf, bgf, iters=5, reps=3,
+    )
+
     detail.update(
         {
             "fused_ms_per_batch": round(fused_ms, 3),
@@ -161,6 +196,15 @@ def main():
             "full_graph_fwbw_ms": round(fwbw_ms, 3),
             "full_graph_fwbw_spread_ms": round(fwbw_spread, 3),
             "full_graph_fwbw_edges_per_s": round(fwbw_eps),
+            "gat_full_graph_ms": round(gat_full_ms, 3),
+            "gat_full_graph_spread_ms": round(gat_full_spread, 3),
+            "gat_full_graph_edges_per_s": round(gf.n_edges / (gat_full_ms / 1e3)),
+            "gat_full_graph_fwbw_ms": round(gat_fwbw_ms, 3),
+            "gat_full_graph_fwbw_spread_ms": round(gat_fwbw_spread, 3),
+            "gat_full_graph_fwbw_edges_per_s": round(gf.n_edges / (gat_fwbw_ms / 1e3)),
+            "agnn_full_graph_ms": round(agnn_full_ms, 3),
+            "agnn_full_graph_spread_ms": round(agnn_full_spread, 3),
+            "agnn_full_graph_edges_per_s": round(gf.n_edges / (agnn_full_ms / 1e3)),
             "full_graph_n_edges": gf.n_edges,
             "backend": jax.default_backend(),
         }

@@ -35,7 +35,13 @@ def main(argv=None):
     from dfgnn_tpu.models.conv import GTConv
     from dfgnn_tpu.utils.config import build_parser, parse_args
 
-    args = parse_args(build_parser(__doc__), argv)
+    p = build_parser(__doc__)
+    p.add_argument(
+        "--compare-full", action="store_true",
+        help="also train the same 2-layer model on the FULL graph (fused "
+             "bucket path) from the same init, and report the accuracy/"
+             "steps-per-s/peak-memory comparison table (VERDICT r4 item 7)")
+    args = parse_args(p, argv)
     ds = load_full_graph(args.dataset, args.data_dir)
     g = Graph.from_coo(ds.rows, ds.cols, ds.n_nodes)
     sampler = NeighborSampler(g)
@@ -94,6 +100,31 @@ def main(argv=None):
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @jax.jit
+    def predict(params, blocks, support):
+        x_sup = jnp.take(x_full, support, axis=0, mode="clip")
+        return jnp.argmax(model.apply(params, blocks, x_sup)[:bs], axis=-1)
+
+    def eval_acc(params, ids):
+        """Sampled inference over ``ids`` (fresh fanout draw per batch)."""
+        hits = tot = 0
+        for s in range(0, len(ids) - bs + 1, bs):
+            seeds = ids[s : s + bs]
+            blocks, sup = sampler.sample_localized(
+                seeds, fanouts, seed=999_000 + s, pad_to=pad_to,
+                support_pad=support_pad)
+            blocks = [b.device_put() for b in blocks]
+            pred = np.asarray(predict(params, blocks, jnp.asarray(sup)))
+            hits += int((pred == y_full[seeds]).sum())
+            tot += bs
+        return hits / max(tot, 1)
+
+    def peak_mb():
+        st = jax.local_devices()[0].memory_stats() or {}
+        return st.get("peak_bytes_in_use", 0) / 1e6
+
+    test_ids = np.nonzero(np.asarray(ds.test_mask))[0]
+    steps_total, t_train = 0, 0.0
     for epoch in range(args.epochs):
         t0 = time.time()
         losses = []
@@ -109,8 +140,71 @@ def main(argv=None):
                 jnp.asarray(y_full[seeds]),
             )
             losses.append(float(loss))
+        dt = time.time() - t0
+        steps_total += len(losses)
+        t_train += dt
         print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
-              f"({len(losses)} steps, {time.time()-t0:.2f}s)", flush=True)
+              f"({len(losses)} steps, {dt:.2f}s)", flush=True)
+    acc_sampled = eval_acc(params, test_ids)
+    print(f"[sampled] test acc={acc_sampled:.4f}  "
+          f"steps/s={steps_total / t_train:.2f}  peak_mem={peak_mb():.0f}MB",
+          flush=True)
+
+    if not args.compare_full:
+        return
+
+    # ----- full-graph comparison: same depth/width, fused bucket path ----
+    from dfgnn_tpu import formats
+
+    bg = formats.preprocess("bucketed", g).device_put()
+
+    class FullNet(nn.Module):
+        hidden: int
+        n_classes: int
+
+        @nn.compact
+        def __call__(self, gg, x):
+            h = nn.Dense(self.hidden)(x)
+            for li in range(2):
+                h = GTConv(self.hidden, name=f"conv_{li}")(gg, h)
+            return nn.Dense(self.n_classes)(h)
+
+    fmodel = FullNet(hidden=args.dim, n_classes=ds.num_classes)
+    xf = x_full[:n]
+    fparams = fmodel.init(jax.random.key(0), bg, xf)
+    fopt_state = opt.init(fparams)
+    tr_mask = jnp.asarray(np.asarray(ds.train_mask))
+    yj = jnp.asarray(y_full)
+
+    @jax.jit
+    def fstep(params, opt_state, x, bg):
+        def loss_fn(p):
+            logits = fmodel.apply(p, bg, x)
+            l = optax.softmax_cross_entropy_with_integer_labels(logits, yj)
+            return jnp.sum(l * tr_mask) / jnp.sum(tr_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # match the sampled run's optimizer-step count
+    t0 = time.time()
+    fsteps = 0
+    for _ in range(steps_total):
+        fparams, fopt_state, floss = fstep(fparams, fopt_state, xf, bg)
+        fsteps += 1
+    jax.block_until_ready(floss)
+    ft = time.time() - t0
+    logits = np.asarray(jax.jit(
+        lambda p, x, bg: fmodel.apply(p, bg, x))(fparams, xf, bg))
+    acc_full = float(
+        (logits.argmax(-1)[test_ids] == y_full[test_ids]).mean())
+    print(f"[full]    test acc={acc_full:.4f}  "
+          f"steps/s={fsteps / ft:.2f}  peak_mem={peak_mb():.0f}MB "
+          f"(peak includes the sampled run's residue; full-graph step "
+          f"touches the whole graph per step, sampled touches "
+          f"O(batch*fanout^2))", flush=True)
+    print(f"[compare] sampled-full acc gap = {acc_sampled - acc_full:+.4f}")
 
 
 if __name__ == "__main__":

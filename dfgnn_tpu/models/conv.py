@@ -68,6 +68,29 @@ class _ProjParams(nn.Module):
         return kernel, bias
 
 
+def _auto_bf16_dense_batch(conv: str, g, out_size: int) -> str:
+    """Measured-winner routing for bf16 ``method="auto"`` on a DenseBatch.
+
+    Encodes the r5 shmoo crossovers (``results/shmoo_{gt,agnn}.json``,
+    real v5e): XLA dense wins small workloads; the one-kernel fused layer
+    wins GT at large token counts (bs=2048: 0.588 vs dense 0.847 ms,
+    1.44x); the flash kernel wins at wide dims (dim=256) and AGNN at
+    scale (bs=2048: 0.757 vs 0.933).  Thresholds sit between the measured
+    grid points (131k/262k tokens; dims 128/256).
+    """
+    n_tokens = g.n_graphs * g.np_pad
+    if conv == "gt":
+        if n_tokens >= 200_000 and g.val is None:
+            return "flash_fused"
+        if out_size >= 192:
+            return "flash"
+        return "dense"
+    # agnn: no fused-layer kernel (l2-normalize sits between proj + attn)
+    if n_tokens >= 200_000 or out_size >= 192:
+        return "flash"
+    return "dense"
+
+
 class GTConv(nn.Module):
     """Sparse multi-head scaled-dot attention (graph transformer conv).
 
@@ -99,6 +122,18 @@ class GTConv(nn.Module):
             import os
 
             method = os.environ.get("DFGNN_TPU_FORCE_METHOD", "auto")
+        # bf16 auto on a DenseBatch: XLA dense is the measured winner at
+        # the headline point (BENCH_r04: dense 0.252 ms vs flash_fused
+        # 0.278 vs flash 0.315 at bs=1024 dim=128 — utilisation-bound
+        # tie, NOTES_r4.md item 2), but the r5 shmoo
+        # (results/shmoo_gt.json) found two real crossovers: at large
+        # token counts the one-kernel fused layer wins (bs=2048:
+        # 0.588 vs dense 0.847, 1.44x) and at wide dims the flash kernel
+        # wins (dim=256: 0.133 vs 0.140).  Thresholds sit between the
+        # measured grid points.
+        if (method == "auto" and self.dtype == jnp.bfloat16
+                and isinstance(g, DenseBatch)):
+            method = _auto_bf16_dense_batch("gt", g, self.out_size)
         fused_layer = (
             isinstance(g, DenseBatch) and g.val is None
             and method == "flash_fused")
@@ -112,14 +147,6 @@ class GTConv(nn.Module):
             return flash_layer_attention(
                 g, x, wq, bq, wk, bk, wv, bv,
                 num_heads=self.num_heads, scale=head_dim ** -0.5)
-        # bf16 auto on a DenseBatch: XLA dense is the measured winner
-        # (BENCH_r04: dense 0.252 ms vs flash_fused 0.278 vs flash 0.315;
-        # the fused-layer kernel TIES dense within spread — full
-        # decomposition in NOTES_r4.md item 2 — so the simpler XLA program
-        # stays the default; flash_fused remains reachable via impl=).
-        if (method == "auto" and self.dtype == jnp.bfloat16
-                and isinstance(g, DenseBatch)):
-            method = "dense"
         q = nn.Dense(self.out_size, name="q_proj", dtype=self.dtype)(x) * (head_dim ** -0.5)
         k = nn.Dense(self.out_size, name="k_proj", dtype=self.dtype)(x)
         v = nn.Dense(self.out_size, name="v_proj", dtype=self.dtype)(x)
@@ -173,6 +200,13 @@ class GATConv(nn.Module):
             # fused-layer 0.283 ms == decomposed flash 0.282 within
             # spread; XLA dense loses 2.15x at 0.607 — the additive-score
             # broadcast does not fuse the way GT's QKV matmuls do).
+            # The r5 shmoo (results/shmoo_gat.json) confirms dense loses
+            # at EVERY grid point; fused-layer vs decomposed flash trade
+            # within a ±40% band with no monotone pattern (fused wins
+            # small dims/batches and ties the bs=1024 headline; flash
+            # wins bs=512/2048) — fused stays the default for its
+            # single-kernel in-kernel dropout; impl="flash" remains one
+            # call away.
             from dfgnn_tpu.ops.pallas.flash_mask import (
                 flash_layer_attention_gat,
             )
@@ -252,11 +286,15 @@ class AGNNConv(nn.Module):
             import os
 
             method = os.environ.get("DFGNN_TPU_FORCE_METHOD", "auto")
-        # bf16 auto on a DenseBatch: XLA dense wins (BENCH_r04: 0.256 ms
-        # dense vs 0.289 flash) — same utilisation-bound story as GTConv.
+        # bf16 auto on a DenseBatch: XLA dense wins at the headline point
+        # (BENCH_r04: 0.256 ms dense vs 0.289 flash) — same utilisation-
+        # bound story as GTConv — but the r5 shmoo
+        # (results/shmoo_agnn.json) flips to flash at scale (bs=2048:
+        # 0.757 vs dense 0.933) and at wide dims (dim=256: 0.099 vs
+        # 0.114); thresholds sit between the measured grid points.
         if (method == "auto" and self.dtype == jnp.bfloat16
                 and isinstance(g, DenseBatch)):
-            method = "dense"
+            method = _auto_bf16_dense_batch("agnn", g, self.out_size)
         out = graph_attention(
             g,
             _split_heads(hn, g, self.num_heads),

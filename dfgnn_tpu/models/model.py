@@ -143,16 +143,31 @@ class FullGraphNet(nn.Module):
     method: str = "auto"
     # bf16 fast mode for the conv stack (head/softmax stay fp32)
     dtype: Optional[jnp.dtype] = None
+    # rematerialize each conv layer (jax.checkpoint): trades recompute
+    # for memory so deep stacks on full graphs stay inside HBM — XLA's
+    # scheduler is otherwise free to keep several layers' gathered edge
+    # buffers live at once (measured: an 8-layer reddit-standin forward
+    # wanted 49 GB at compile without it)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, g, x, impl: Optional[str] = None):
         h = nn.Dense(self.hidden_size, name="input_proj")(x)
         kw = {} if self.dtype is None else {"dtype": self.dtype}
-        for i in range(self.num_layers):
-            h = make_conv(
-                self.conv, self.hidden_size, self.num_heads,
-                method=self.method, name=f"layer_{i}", **kw,
-            )(g, h, impl=impl)
+        if self.remat:
+            from dfgnn_tpu.models.conv import _CONVS
+
+            cls = nn.remat(_CONVS[self.conv], static_argnums=(2,))
+            for i in range(self.num_layers):
+                h = cls(self.hidden_size, self.num_heads,
+                        method=self.method, name=f"layer_{i}", **kw)(
+                    g, h, impl)
+        else:
+            for i in range(self.num_layers):
+                h = make_conv(
+                    self.conv, self.hidden_size, self.num_heads,
+                    method=self.method, name=f"layer_{i}", **kw,
+                )(g, h, impl=impl)
         h = h.astype(jnp.float32)
         return nn.log_softmax(nn.Dense(self.num_classes, name="output_proj")(h))
 

@@ -89,10 +89,16 @@ def _pick_graph_block(B: int, P: int, f: int, n_feat: int, n_mat: int,
     cap = min(max(1, budget // max(per_graph, 1)), max_g)
     # Mosaic constraint on the [h, B, P] row operands (block (1, G, P)):
     # the second-to-last block dim G must be a multiple of 8 or equal B.
-    g = B if B <= cap else 1
+    g = B if B <= cap else 0
     for cand in range(8, min(cap, B) + 1, 8):
         if B % cand == 0:
             g = cand
+    if g == 0:
+        # no in-budget multiple-of-8 divisor (cap < 8 happens for the
+        # backward's 12-matrix working set at f=128): take the smallest
+        # Mosaic-valid block and let the budget's 2MB headroom absorb the
+        # overshoot — G=1 would fail lowering outright
+        g = 8 if B % 8 == 0 else B
     return g
 
 

@@ -99,21 +99,33 @@ def main(argv=None):
     print("strict fused-vs-unfused check: OK")
 
     fw = jax.jit(lambda p, b, x, y, m: loss_fn(p, b, x, y, m))
+    # return the grads too — returning only value_and_grad(...)[0] lets
+    # XLA dead-code-eliminate the whole backward pass (measured: derived
+    # backward ~0 or negative)
     fwbw = jax.jit(
-        lambda p, b, x, y, m: jax.value_and_grad(loss_fn)(p, b, x, y, m)[0])
+        lambda p, b, x, y, m: jax.value_and_grad(loss_fn)(p, b, x, y, m))
 
-    def timed(fn):
+    # device-resident batches OUTSIDE the timed region (host->device
+    # conversion is the "preprocess" column, already measured above), and
+    # several pipelined passes over the loader so per-dispatch tunnel
+    # latency amortizes — with only len(batches) dispatches the derived
+    # backward column was measurement noise (could even go negative)
+    dev_batches = [
+        (b, jnp.asarray(x), jnp.asarray(y),
+         jnp.asarray(m, dtype=jnp.float32)) for b, x, y, m in batches
+    ]
+
+    def timed(fn, reps=5):
         out = None
-        for b, x, y, m in batches[:1]:
-            out = fn(params, b, jnp.asarray(x), jnp.asarray(y),
-                     jnp.asarray(m, dtype=jnp.float32))
+        for b, x, y, m in dev_batches[:1]:
+            out = fn(params, b, x, y, m)
         jax.block_until_ready(out)
         t0 = time.time()
-        for b, x, y, m in batches:
-            out = fn(params, b, jnp.asarray(x), jnp.asarray(y),
-                     jnp.asarray(m, dtype=jnp.float32))
+        for _ in range(reps):
+            for b, x, y, m in dev_batches:
+                out = fn(params, b, x, y, m)
         jax.block_until_ready(out)
-        return (time.time() - t0) / len(batches) * 1e3
+        return (time.time() - t0) / (reps * len(dev_batches)) * 1e3
 
     t_fw = timed(fw)
     t_fwbw = timed(fwbw)

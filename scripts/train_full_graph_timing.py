@@ -32,9 +32,29 @@ def main(argv=None):
     from dfgnn_tpu.models import FullGraphNet
     from dfgnn_tpu.utils.config import build_parser, parse_args
 
-    args = parse_args(build_parser(__doc__), argv)
+    p = build_parser(__doc__)
+    p.add_argument(
+        "--remat", action="store_true",
+        help="jax.checkpoint each conv layer (FullGraphNet(remat=True)): "
+             "required for deep stacks on super-node graphs — without it "
+             "XLA keeps several layers' gathered edge buffers live at "
+             "once (8-layer reddit-standin wanted 49 GB at compile)")
+    args = parse_args(p, argv)
     ds = load_full_graph(args.dataset, args.data_dir)
     g = Graph.from_coo(ds.rows, ds.cols, ds.n_nodes)
+    g_oracle = g
+    ORACLE_EDGE_CAP = 4_000_000
+    if g.n_edges > ORACLE_EDGE_CAP:
+        # the unfused oracle's O(E*dim) gathered temporaries exceed HBM
+        # at super-node scale; its rows run on a subsample and compare by
+        # rate (test_full_graph.py methodology)
+        e = g.n_edges
+        sub = np.random.default_rng(0).choice(e, ORACLE_EDGE_CAP,
+                                              replace=False)
+        g_oracle = Graph.from_coo(np.asarray(g.rows)[:e][sub],
+                                  np.asarray(g.cols)[:e][sub], g.n_nodes)
+        print(f"unfused(oracle) rows use a {ORACLE_EDGE_CAP}-edge "
+              f"subsample ({e} edges exceed the oracle's HBM budget)")
 
     t0 = time.time()
     # preprocessing done once (ref :57); transpose enables the fused
@@ -51,23 +71,29 @@ def main(argv=None):
 
     model = FullGraphNet(
         conv=args.conv, num_classes=ds.num_classes, hidden_size=args.dim,
-        num_layers=args.n_layers, num_heads=args.heads,
+        num_layers=args.n_layers, num_heads=args.heads, remat=args.remat,
     )
     params = model.init(jax.random.key(0), bg, x)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
     rows = []
-    for name, layout in [("fused(bucket)", bg), ("unfused(oracle)", g)]:
-        def loss_fn(p):
+    for name, layout in [("fused(bucket)", bg), ("unfused(oracle)", g_oracle)]:
+        # layout and features ride as jit ARGUMENTS: closed-over device
+        # arrays are embedded as compile-request constants, which blows
+        # the remote-compile size limit at full-graph scale
+        def loss_fn(p, layout, x):
             lp = model.apply(p, layout, x)
             return -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
 
         fw = jax.jit(loss_fn)
-        fwbw = jax.jit(lambda p: jax.value_and_grad(loss_fn)(p)[0])
+        # return the grads too — returning only [0] lets XLA dead-code-
+        # eliminate the whole backward pass
+        fwbw = jax.jit(
+            lambda p, layout, x: jax.value_and_grad(loss_fn)(p, layout, x))
 
-        def epoch_fn(p, o):
-            l, grads = jax.value_and_grad(loss_fn)(p)
+        def epoch_fn(p, o, layout, x):
+            l, grads = jax.value_and_grad(loss_fn)(p, layout, x)
             up, o = opt.update(grads, o)
             return optax.apply_updates(p, up), o, l
 
@@ -81,9 +107,9 @@ def main(argv=None):
             jax.block_until_ready(out)
             return (time.time() - t0) / args.epochs * 1e3
 
-        t_fw = timed(fw, params)
-        t_fwbw = timed(fwbw, params)
-        t_ep = timed(lambda: ep(params, opt_state))
+        t_fw = timed(fw, params, layout, x)
+        t_fwbw = timed(fwbw, params, layout, x)
+        t_ep = timed(ep, params, opt_state, layout, x)
         rows.append(
             [name, f"{t_fw:.2f}", f"{t_fwbw - t_fw:.2f}", f"{t_ep - t_fwbw:.2f}",
              f"{t_ep:.2f}"]

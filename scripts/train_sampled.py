@@ -87,8 +87,10 @@ def main(argv=None):
     opt_state = opt.init(params)
     bs = args.batch_size
 
+    # x_full rides as a jit ARGUMENT (a closed-over full-graph feature
+    # table would be embedded as a compile-request constant)
     @jax.jit
-    def step(params, opt_state, blocks, support, y_batch):
+    def step(params, opt_state, blocks, support, y_batch, x_full):
         x_sup = jnp.take(x_full, support, axis=0, mode="clip")
 
         def loss_fn(p):
@@ -101,7 +103,7 @@ def main(argv=None):
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def predict(params, blocks, support):
+    def predict(params, blocks, support, x_full):
         x_sup = jnp.take(x_full, support, axis=0, mode="clip")
         return jnp.argmax(model.apply(params, blocks, x_sup)[:bs], axis=-1)
 
@@ -114,7 +116,7 @@ def main(argv=None):
                 seeds, fanouts, seed=999_000 + s, pad_to=pad_to,
                 support_pad=support_pad)
             blocks = [b.device_put() for b in blocks]
-            pred = np.asarray(predict(params, blocks, jnp.asarray(sup)))
+            pred = np.asarray(predict(params, blocks, jnp.asarray(sup), x_full))
             hits += int((pred == y_full[seeds]).sum())
             tot += bs
         return hits / max(tot, 1)
@@ -137,7 +139,7 @@ def main(argv=None):
             blocks = [b.device_put() for b in blocks]
             params, opt_state, loss = step(
                 params, opt_state, blocks, jnp.asarray(sup),
-                jnp.asarray(y_full[seeds]),
+                jnp.asarray(y_full[seeds]), x_full,
             )
             losses.append(float(loss))
         dt = time.time() - t0

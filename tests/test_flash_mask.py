@@ -256,3 +256,26 @@ def test_flash_layer_fused_bf16_auto(rng):
                             impl="flash_fused").astype(jnp.float32)
     scale = float(jnp.max(jnp.abs(want))) + 1e-9
     assert float(jnp.max(jnp.abs(got_fused - want))) / scale < 5e-2
+
+
+def test_auto_bf16_routing_thresholds():
+    """The bf16-auto routing encodes the r5 shmoo crossovers: dense for
+    small workloads, fused-layer (gt) / flash (agnn) at >=200k tokens,
+    flash at wide dims (results/shmoo_{gt,agnn}.json)."""
+    from dfgnn_tpu.graph import DenseBatch
+    from dfgnn_tpu.models.conv import _auto_bf16_dense_batch
+
+    def fake(B, P, val=None):
+        return DenseBatch(adj=None, node_mask=None, val=val, n_graphs=B,
+                          np_pad=P)
+
+    small, big = fake(1024, 128), fake(2048, 128)
+    assert _auto_bf16_dense_batch("gt", small, 128) == "dense"
+    assert _auto_bf16_dense_batch("gt", big, 128) == "flash_fused"
+    assert _auto_bf16_dense_batch("gt", small, 256) == "flash"
+    # val-carrying batches have no fused-layer kernel path; plain flash
+    # LOSES to dense at bs=2048 (0.885 vs 0.847) so dense stays
+    assert _auto_bf16_dense_batch("gt", fake(2048, 128, val=1), 128) == "dense"
+    assert _auto_bf16_dense_batch("agnn", small, 128) == "dense"
+    assert _auto_bf16_dense_batch("agnn", big, 128) == "flash"
+    assert _auto_bf16_dense_batch("agnn", small, 256) == "flash"

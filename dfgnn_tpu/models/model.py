@@ -33,7 +33,10 @@ class AtomEncoder(nn.Module):
     def __call__(self, x):  # x: [n, 9] int
         out = 0
         for i, vocab in enumerate(_ATOM_FEATURE_DIMS):
-            out = out + nn.Embed(vocab, self.hidden_size, name=f"atom_{i}")(x[..., i])
+            # clip, don't fill: out-of-range ids hit jnp.take's NaN fill
+            # inside nn.Embed and silently poison the whole forward
+            idx = jnp.clip(x[..., i], 0, vocab - 1)
+            out = out + nn.Embed(vocab, self.hidden_size, name=f"atom_{i}")(idx)
         return out
 
 

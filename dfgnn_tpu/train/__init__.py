@@ -4,4 +4,5 @@ from dfgnn_tpu.train.loop import (
     train_step,
     evaluate_rocauc,
     evaluate_accuracy,
+    evaluate_mean_ap,
 )

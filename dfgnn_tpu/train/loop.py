@@ -100,6 +100,27 @@ def evaluate_rocauc(y_true: np.ndarray, y_score: np.ndarray) -> float:
     return float(roc_auc_score(y_true, y_score))
 
 
+def evaluate_mean_ap(y_true: np.ndarray, y_score: np.ndarray,
+                     mask=None) -> float:
+    """Mean average precision over C binary tasks with NaN = missing label
+    (role of the ogb ``Evaluator('ogbg-molpcba')`` AP metric the reference's
+    multilabel configs report; Peptides-func uses the same protocol)."""
+    from sklearn.metrics import average_precision_score
+
+    y_true = np.asarray(y_true, dtype=np.float64)
+    y_score = np.asarray(y_score, dtype=np.float64)
+    if mask is not None:
+        m = np.asarray(mask).reshape(-1).astype(bool)
+        y_true, y_score = y_true[m], y_score[m]
+    aps = []
+    for t in range(y_true.shape[1]):
+        lab = ~np.isnan(y_true[:, t])
+        if lab.any() and len(np.unique(y_true[lab, t])) == 2:
+            aps.append(average_precision_score(y_true[lab, t],
+                                               y_score[lab, t]))
+    return float(np.mean(aps)) if aps else float("nan")
+
+
 def evaluate_accuracy(y_true, y_pred, mask=None) -> float:
     y_true = np.asarray(y_true).reshape(-1)
     y_pred = np.asarray(y_pred).reshape(-1)

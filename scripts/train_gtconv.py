@@ -27,7 +27,10 @@ def main(argv=None):
     from dfgnn_tpu.data.collate import batch_iterator
     from dfgnn_tpu.data.datasets import load_batched
     from dfgnn_tpu.models import GTModel
-    from dfgnn_tpu.train import TrainState, make_loss_fn, train_step, evaluate_rocauc
+    from dfgnn_tpu.train import (
+        TrainState, make_loss_fn, train_step, evaluate_rocauc,
+        evaluate_mean_ap,
+    )
     from dfgnn_tpu.utils.config import build_parser, parse_args
 
     args = parse_args(build_parser(__doc__), argv)
@@ -65,19 +68,21 @@ def main(argv=None):
                 params, opt_state, batch, jnp.asarray(x), jnp.asarray(y), jnp.asarray(m)
             )
             losses.append(float(loss))
-        # eval ROC-AUC (binary) or accuracy
-        scores, ys = [], []
+        # eval ROC-AUC (binary), mean AP (multilabel), or accuracy
+        scores, ys, ms = [], [], []
         for batch, x, y, m in batches:
             logits = model.apply(params, batch, jnp.asarray(x))
             scores.append(np.asarray(logits))
             ys.append(y)
-        metric = (
-            evaluate_rocauc(np.concatenate(ys), np.concatenate(scores))
-            if ds.num_classes == 1
-            else float(
-                (np.concatenate(scores).argmax(-1) == np.concatenate(ys)).mean()
-            )
-        )
+            ms.append(m)
+        sc, yy, mm = (np.concatenate(a) for a in (scores, ys, ms))
+        if ds.num_classes == 1:
+            metric = evaluate_rocauc(yy, sc)
+        elif ds.task == "graph_classification_multilabel":
+            metric = evaluate_mean_ap(yy, sc, mask=mm)
+        else:
+            metric = float((sc.argmax(-1)[mm.astype(bool)]
+                            == yy[mm.astype(bool)]).mean())
         print(
             f"epoch {epoch}: loss={np.mean(losses):.4f} metric={metric:.4f} "
             f"time={time.time()-t0:.2f}s"
@@ -111,6 +116,14 @@ def _checkgrad(model, params, loss_fn, batch, x, y, m):
                 l = optax.sigmoid_binary_cross_entropy(
                     logits.squeeze(-1), yj.astype(jnp.float32)
                 )
+            elif yj.ndim == 2:
+                # multilabel: [G, C] float targets, NaN = missing label
+                y = yj.astype(jnp.float32)
+                labeled = ~jnp.isnan(y) & mj[:, None].astype(bool)
+                l = optax.sigmoid_binary_cross_entropy(
+                    logits, jnp.where(labeled, y, 0.0))
+                l = jnp.where(labeled, l, 0.0)
+                return jnp.sum(l) / jnp.maximum(jnp.sum(labeled), 1)
             else:
                 l = optax.softmax_cross_entropy_with_integer_labels(
                     logits, jnp.maximum(yj, 0)

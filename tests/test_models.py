@@ -152,3 +152,41 @@ def test_multilabel_bce_loss(rng):
     g = jax.grad(loss_fn)(params, batch, x, jnp.asarray(y), jnp.asarray(mask))
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_evaluate_mean_ap():
+    """Mean-AP metric (ogb molpcba AP protocol analog): NaN labels and
+    masked graphs are excluded per task; perfect ranking scores 1.0."""
+    from dfgnn_tpu.train import evaluate_mean_ap
+
+    y = np.array([[1.0, 0.0], [0.0, np.nan], [1.0, 1.0], [0.0, 0.0]])
+    perfect = np.where(np.nan_to_num(y) > 0.5, 2.0, -2.0)
+    assert evaluate_mean_ap(y, perfect) == 1.0
+    # inverted ranking is worse than perfect
+    assert evaluate_mean_ap(y, -perfect) < 1.0
+    # mask drops rows: with rows {0,1,3} task 0 keeps both classes
+    # (scorable), task 1 keeps only 0-labels -> skipped; still finite
+    m = np.array([1, 1, 0, 1], bool)
+    v = evaluate_mean_ap(y, perfect, mask=m)
+    assert v == 1.0
+    # all-masked -> no scorable task -> nan
+    assert np.isnan(evaluate_mean_ap(y, perfect, mask=np.zeros(4, bool)))
+
+
+def test_atom_encoder_out_of_range_clips(rng):
+    """Out-of-vocab atom ids must clip, not hit nn.Embed's NaN fill
+    (jnp.take fills out-of-range with NaN and poisons the forward)."""
+    from dfgnn_tpu.models.model import AtomEncoder, _ATOM_FEATURE_DIMS
+
+    enc = AtomEncoder(hidden_size=8)
+    x_ok = np.stack([rng.integers(0, v, 16) for v in _ATOM_FEATURE_DIMS],
+                    axis=1).astype(np.int32)
+    p = enc.init(jax.random.key(0), jnp.asarray(x_ok))
+    h = enc.apply(p, jnp.asarray(x_ok))
+    assert np.isfinite(np.asarray(h)).all()
+    # ids beyond every vocab behave as the max id, never NaN
+    x_hi = np.full_like(x_ok, 1000)
+    x_max = np.array([[v - 1 for v in _ATOM_FEATURE_DIMS]] * 16, np.int32)
+    h_hi = enc.apply(p, jnp.asarray(x_hi))
+    np.testing.assert_allclose(np.asarray(h_hi),
+                               np.asarray(enc.apply(p, jnp.asarray(x_max))))

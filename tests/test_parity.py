@@ -72,7 +72,7 @@ def test_parity_batched_bf16_vs_fp32():
     results = [
         run_parity_batched(seed=s, n_graphs=16, hidden=16, layers=2,
                            steps=60, lr=2e-2, dtype=jnp.bfloat16)
-        for s in SEEDS[:2]
+        for s in SEEDS
     ]
     accs_u = [r["acc_unfused"] for r in results]
     spread_u = max(accs_u) - min(accs_u)

@@ -39,9 +39,7 @@ def main():
     from dfgnn_tpu.data.synthetic import pattern_like_batch
     from dfgnn_tpu.graph import DenseBatch, Graph
     from dfgnn_tpu.models import make_conv
-    from dfgnn_tpu.utils.benchmark import (
-        benchmark_chained, benchmark_chained_stats,
-    )
+    from dfgnn_tpu.utils.benchmark import benchmark_chained_stats
 
     rng = np.random.default_rng(0)
     BS, DIM, HEADS = 1024, 128, 1
@@ -101,9 +99,11 @@ def main():
     sub_batch = DenseBatch.from_graph_list(sub_graphs, np_pad=128)
     g = sub_batch.to_graph().device_put()
     xs = x[: g.n_nodes]
-    oracle_ms = benchmark_chained(
-        lambda xs: layer.apply(params, g, xs, impl="reference"), xs, iters=5
+    oracle_ms, oracle_spread = benchmark_chained_stats(
+        lambda xs: layer.apply(params, g, xs, impl="reference"), xs,
+        iters=5, reps=3,
     )
+    detail["oracle_spread_ms"] = round(oracle_spread, 3)
     oracle_eps = g.n_edges / (oracle_ms / 1e3)
 
     # Second headline config (BASELINE.md): fused conv on a reddit-like

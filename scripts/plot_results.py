@@ -96,24 +96,33 @@ def main(argv=None):
 
     shmoo = _load(args.results, "shmoo")
     for name, blob in shmoo.items():
-        res = blob["results"]
-        for fig_id, key in (("fig4_dim", "dim"), ("fig5_batch", "batch_size")):
-            pts = [(int(x), r["edges_per_s"])
-                   for x, r in res.get(key, {}).items()]
-            if not pts:
-                continue
-            pts.sort()
-            fig, ax = plt.subplots(figsize=(5, 3.2), dpi=120)
-            ax.plot([x for x, _ in pts], [y / 1e6 for _, y in pts],
-                    marker="o")
-            ax.set_xlabel(key)
-            ax.set_ylabel("Medges/s")
-            ax.set_xscale("log", base=2)
-            ax.set_title(f"{fig_id}: {name}")
-            fig.tight_layout()
-            p = os.path.join(args.out, f"{fig_id}_{name}.png")
-            fig.savefig(p)
-            made.append(p)
+        # schema: results -> {conv: {axis: {x: {impl: ms, ..., n_edges}}}}
+        for conv, axes in blob["results"].items():
+            for fig_id, key in (("fig4_dim", "dim"),
+                                ("fig5_batch", "batch_size")):
+                grid = axes.get(key) or {}
+                if not grid:
+                    continue
+                impls = sorted({i for r in grid.values() for i in r
+                                if i not in ("winner", "default_ok",
+                                             "n_edges")})
+                fig, ax = plt.subplots(figsize=(5, 3.2), dpi=120)
+                for impl in impls:
+                    pts = sorted(
+                        (int(x), r["n_edges"] / (r[impl] / 1e3) / 1e6)
+                        for x, r in grid.items() if impl in r)
+                    if pts:
+                        ax.plot([x for x, _ in pts], [y for _, y in pts],
+                                marker="o", label=impl, lw=1.2, ms=3)
+                ax.set_xlabel(key)
+                ax.set_ylabel("Medges/s")
+                ax.set_xscale("log", base=2)
+                ax.set_title(f"{fig_id}: {conv} (bf16 impls + fp32 flash)")
+                ax.legend(fontsize=7)
+                fig.tight_layout()
+                p = os.path.join(args.out, f"{fig_id}_{conv}.png")
+                fig.savefig(p)
+                made.append(p)
 
     if not made:
         print("no results/*.json found — run the test/bench scripts with "
